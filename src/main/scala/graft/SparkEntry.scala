@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.Derived._
+import graft.cells.CellScheme
+import graft.geom.Extent
+import graft.join.SpatialJoins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query reads the driver's parquet tables at `dir`, derives
+  * deterministic spatial inputs from integer keys (see [[graft.api.Derived]]),
+  * and runs one engine operator; `oracleSql` holds the byte-equivalent ANSI
+  * SQL for DuckDB, generated from the same specs.
+  */
 object SparkEntry {
+
+  /** Map extent of the table-derived workloads (see [[graft.api.Derived]]). */
+  val mapExtent: Extent = Extent(0.0, 1000.0, 0.0, 1000.0)
+
+  /** Default grid: 64×64 cells over the map — #cells (4096) ≫ #cores. */
+  val grid: CellScheme = CellScheme(mapExtent, 64, 64)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("spatial_grid_join_pp")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J6: PBSM grid join, polygon × polygon (declarative Catalyst plan)
+    "spatial_grid_join_pp" -> ((s, dir) =>
+      SpatialJoins.gridJoin(partRects.load(s, dir), ordersRects.load(s, dir), grid)),
+    // J6 over points: point-in-polygon
+    "spatial_grid_join_pip" -> ((s, dir) =>
+      SpatialJoins.gridJoin(customerPoints.load(s, dir), partRects.load(s, dir), grid)),
+    // J5: 1-D stripes plan (n×1 grid), same semantics
+    "spatial_stripes_join" -> ((s, dir) =>
+      SpatialJoins.stripesJoin(supplierRects.load(s, dir), partRects.load(s, dir), mapExtent, 256)),
+    // J6 with the cogroup + plane-sweep inner loop
+    "spatial_sweep_join" -> ((s, dir) =>
+      SpatialJoins.gridJoinSweep(partRects.load(s, dir), ordersRects.load(s, dir), grid)),
+    // J12: broadcast nested-loop join (small build side)
+    "spatial_broadcast_join" -> ((s, dir) =>
+      SpatialJoins.broadcastNL(supplierRects.load(s, dir), customerPoints.load(s, dir))),
+    // A1+A2: result count and global extent (integer cents — fp-exact oracle)
+    "spatial_extent" -> ((s, dir) =>
+      partRects.load(s, dir).agg(
+        count(lit(1)).as("n"),
+        round(min(col("xmin")) * 100).cast("long").as("xmin_c"),
+        round(max(col("xmax")) * 100).cast("long").as("xmax_c"),
+        round(min(col("ymin")) * 100).cast("long").as("ymin_c"),
+        round(max(col("ymax")) * 100).cast("long").as("ymax_c"))),
+    // A3: per-cell candidate stats over the replicated a-side
+    "spatial_cell_stats" -> ((s, dir) =>
+      SpatialJoins.withCells(
+          partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
+          grid, "a")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_objs"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "spatial_grid_join_pp"   -> joinOracle(partRects, ordersRects),
+    "spatial_grid_join_pip"  -> joinOracle(customerPoints, partRects),
+    "spatial_stripes_join"   -> joinOracle(supplierRects, partRects),
+    "spatial_sweep_join"     -> joinOracle(partRects, ordersRects),
+    "spatial_broadcast_join" -> joinOracle(supplierRects, customerPoints),
+    "spatial_extent" ->
+      s"""SELECT count(*) AS n,
+         | CAST(round(min(xmin) * 100) AS BIGINT) AS xmin_c,
+         | CAST(round(max(xmax) * 100) AS BIGINT) AS xmax_c,
+         | CAST(round(min(ymin) * 100) AS BIGINT) AS ymin_c,
+         | CAST(round(max(ymax) * 100) AS BIGINT) AS ymax_c
+         | FROM (${partRects.sqlSelect})""".stripMargin.replace("\n", ""),
+    "spatial_cell_stats" -> cellStatsOracle,
+  )
+
+  /** Cell replication as SQL: cross join with the two cell-range sequences.
+    * Must mirror `SpatialJoins.withCells` (clamped floor arithmetic).
+    */
+  private def cellStatsOracle: String = {
+    val w = grid.cellW; val h = grid.cellH; val n = grid.nx
+    def cc(v: String, lo: Double, len: Double, nn: Int): String =
+      s"least(greatest(CAST(floor(($v - $lo) / $len) AS BIGINT), 0), ${nn - 1})"
+    s"""SELECT cy * $n + cx AS cell, count(*) AS n_objs FROM (
+       | SELECT unnest(range(${cc("xmin", 0.0, w, n)}, ${cc("xmax", 0.0, w, n)} + 1)) AS cx,
+       |        cy
+       | FROM (
+       |   SELECT xmin, xmax, unnest(range(${cc("ymin", 0.0, h, n)}, ${cc("ymax", 0.0, h, n)} + 1)) AS cy
+       |   FROM (${partRects.sqlSelect})
+       | )
+       |) GROUP BY 1""".stripMargin.replace("\n", "")
+  }
 }

@@ -1,0 +1,252 @@
+package graft.join
+
+import graft.cells.CellScheme
+import graft.geom.{Extent, Geom}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result pair — the reference's `std::pair<int,int>` / FPGA `result_t`
+  * (`cpp/RTree.h:114`, `designs/pbsm/dynamic/16/src/types.hpp:27-31`).
+  */
+final case class Pair(a_id: Long, b_id: Long)
+
+private[join] final case class CellGeom(cell: Long, id: Long, xmin: Double,
+                                        xmax: Double, ymin: Double, ymax: Double)
+
+/** Spatial θ-join (inclusive rectangle-intersect) with several physical
+  * strategies, all producing the identical pair set:
+  *
+  *  - `broadcastNL`   — broadcast nested-loop (small side broadcast); also the
+  *                      correctness oracle (reference J1,
+  *                      `cpp/Tree_generation.hpp:707-718`).
+  *  - `gridJoin`      — PBSM as a declarative Catalyst plan: replicate each MBR
+  *                      into overlapped grid cells (`explode(sequence)`), then a
+  *                      plain *equi-join on cell id* + intersect predicate +
+  *                      reference-point ownership filter. Catalyst plans a
+  *                      shuffled hash/sort-merge join, AQE handles residual
+  *                      skew; the whole pipeline is whole-stage-codegen'd.
+  *  - `gridJoinSweep` — same logical plan but the per-cell inner loop is a
+  *                      typed `cogroup` running a plane sweep over y-sorted
+  *                      arrays (reference J5/J6 inner loop,
+  *                      `cpp/1d_stripes.hpp:16-68`), cutting per-cell work from
+  *                      |A|·|B| to sorted-overlap. Used when cells are dense.
+  *  - `stripesJoin`   — 1-D stripes = `n × 1` grid (reference J5).
+  *
+  * Exactly-once semantics: a pair is emitted only in the cell that contains
+  * the bottom-left corner of its intersection (`join.hpp:56-71`), so no
+  * `distinct()` shuffle is ever needed (contrast with the SpatialSpark
+  * baseline's `.distinct()`, `PartitionedSpatialJoin.scala:258-264`).
+  */
+object SpatialJoins {
+
+  val intersectPred: Column =
+    col("a_xmin") <= col("b_xmax") && col("a_xmax") >= col("b_xmin") &&
+    col("a_ymin") <= col("b_ymax") && col("a_ymax") >= col("b_ymin")
+
+  /** Global extent via a single min/max aggregation (reference A2). */
+  def extentOf(ds: Dataset[Geom]): Extent = {
+    val r = ds.agg(min("xmin"), max("xmax"), min("ymin"), max("ymax")).head()
+    Extent(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  def jointExtent(a: Dataset[Geom], b: Dataset[Geom]): Extent =
+    extentOf(a.unionByName(b))
+
+  private def prefixed(ds: Dataset[Geom], p: String): DataFrame =
+    ds.toDF(s"${p}_id", s"${p}_xmin", s"${p}_xmax", s"${p}_ymin", s"${p}_ymax")
+
+  /** Broadcast nested-loop join — correct for any input, efficient when one
+    * side fits in memory (reference J12 / oracle J1).
+    */
+  def broadcastNL(a: Dataset[Geom], b: Dataset[Geom]): DataFrame =
+    prefixed(a, "a").join(broadcast(prefixed(b, "b")), intersectPred)
+      .select(col("a_id"), col("b_id"))
+
+  // ---- declarative grid PBSM ------------------------------------------------
+
+  /** Clamped cell coordinate of `v` along one axis, as a column. */
+  private def cellCoord(v: Column, lo: Double, len: Double, n: Int): Column =
+    least(greatest(floor((v - lit(lo)) / lit(len)).cast("long"), lit(0L)), lit(n - 1L))
+
+  /** Owning cell id of a point `(x, y)` as a column — must match
+    * `CellScheme.cellOf` exactly.
+    */
+  def cellOfCol(s: CellScheme, x: Column, y: Column): Column =
+    cellCoord(y, s.extent.ymin, s.cellH, s.ny) * lit(s.nx.toLong) +
+      cellCoord(x, s.extent.xmin, s.cellW, s.nx)
+
+  /** Replicate rows into every overlapped cell (declarative `flatMap`:
+    * two `explode(sequence(...))` generators, fully codegen-friendly).
+    */
+  def withCells(df: DataFrame, s: CellScheme, p: String): DataFrame = {
+    val cx0 = cellCoord(col(s"${p}_xmin"), s.extent.xmin, s.cellW, s.nx)
+    val cx1 = cellCoord(col(s"${p}_xmax"), s.extent.xmin, s.cellW, s.nx)
+    val cy0 = cellCoord(col(s"${p}_ymin"), s.extent.ymin, s.cellH, s.ny)
+    val cy1 = cellCoord(col(s"${p}_ymax"), s.extent.ymin, s.cellH, s.ny)
+    df.withColumn("cy", explode(sequence(cy0, cy1)))
+      .withColumn("cx", explode(sequence(cx0, cx1)))
+      .withColumn("cell", col("cy") * lit(s.nx.toLong) + col("cx"))
+      .drop("cx", "cy")
+  }
+
+  /** Reference-point dedup as a column predicate: the joined cell must be the
+    * owner of the intersection's bottom-left corner.
+    */
+  private def ownsPred(s: CellScheme, cell: Column): Column =
+    cellOfCol(s, greatest(col("a_xmin"), col("b_xmin")),
+                 greatest(col("a_ymin"), col("b_ymin"))) === cell
+
+  /** PBSM grid join as a pure Catalyst plan (equi-join on cell). */
+  def gridJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
+    val ac = withCells(prefixed(a, "a"), s, "a")
+    val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
+    ac.join(bc, col("cell") === col("b_cell") && intersectPred && ownsPred(s, col("cell")))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  // ---- cogroup + plane-sweep grid PBSM -------------------------------------
+
+  private def replicate(ds: Dataset[Geom], s: CellScheme): Dataset[CellGeom] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { g =>
+      s.cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax))
+    }
+  }
+
+  /** Per-cell plane sweep over ymin-sorted arrays: each intersecting pair is
+    * found exactly once (anchored at the rectangle with the smaller ymin),
+    * checked for x-overlap and cell ownership. O(n log n + overlaps) per cell
+    * instead of |A|·|B| (reference sweep `cpp/1d_stripes.hpp:16-68`, event
+    * order `cpp/Event.h:37-45`).
+    */
+  private[join] def sweepCell(cell: Long, s: CellScheme,
+                              as: Array[CellGeom], bs: Array[CellGeom]): Iterator[Pair] = {
+    if (as.isEmpty || bs.isEmpty) return Iterator.empty
+    java.util.Arrays.sort(as, Ordering.by((g: CellGeom) => g.ymin))
+    java.util.Arrays.sort(bs, Ordering.by((g: CellGeom) => g.ymin))
+    new Iterator[Pair] {
+      private var i = 0; private var j = 0
+      private var anchorA = true          // which side the current anchor is on
+      private var k = 0                    // scan cursor on the opposite side
+      private var pending: Pair = null
+      private def xOverlapOwned(a: CellGeom, b: CellGeom): Boolean =
+        a.xmin <= b.xmax && a.xmax >= b.xmin && {
+          val rx = math.max(a.xmin, b.xmin); val ry = math.max(a.ymin, b.ymin)
+          s.cellOf(rx, ry) == cell
+        }
+      private def advance(): Unit = {
+        while (pending == null && i < as.length && j < bs.length) {
+          if (anchorA && as(i).ymin <= bs(j).ymin) {
+            // anchor = as(i); scan bs from k while bs(k).ymin <= anchor.ymax
+            if (k < j) k = j
+            var found = false
+            while (!found && k < bs.length && bs(k).ymin <= as(i).ymax) {
+              if (xOverlapOwned(as(i), bs(k))) { pending = Pair(as(i).id, bs(k).id); found = true }
+              k += 1
+            }
+            if (!found) { i += 1; k = 0; anchorA = true } else return
+          } else if (!anchorA || as(i).ymin > bs(j).ymin) {
+            anchorA = false
+            if (k < i) k = i
+            var found = false
+            while (!found && k < as.length && as(k).ymin <= bs(j).ymax) {
+              if (xOverlapOwned(as(k), bs(j))) { pending = Pair(as(k).id, bs(j).id); found = true }
+              k += 1
+            }
+            if (!found) { j += 1; k = 0; anchorA = true } else return
+          }
+        }
+      }
+      def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+      def next(): Pair = { if (!hasNext) throw new NoSuchElementException; val p = pending; pending = null; p }
+    }
+  }
+
+  /** PBSM grid join with a typed cogroup + plane-sweep inner loop. */
+  def gridJoinSweep(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ac = replicate(a, s).groupByKey(_.cell)
+    val bc = replicate(b, s).groupByKey(_.cell)
+    ac.cogroup(bc) { (cell, as, bs) =>
+      sweepCell(cell, s, as.toArray, bs.toArray)
+    }.toDF("a_id", "b_id")
+  }
+
+  /** 1-D stripes plan (reference J5): an `n × 1` grid. */
+  def stripesJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame =
+    gridJoin(a, b, CellScheme.stripesX(extent, n))
+
+  // ---- distance join --------------------------------------------------------
+
+  /** Minimum Euclidean distance between two MBRs as a column. */
+  val minDistCol: Column = {
+    val dx = greatest(col("b_xmin") - col("a_xmax"), col("a_xmin") - col("b_xmax"), lit(0.0))
+    val dy = greatest(col("b_ymin") - col("a_ymax"), col("a_ymin") - col("b_ymax"), lit(0.0))
+    sqrt(dx * dx + dy * dy)
+  }
+
+  /** "within distance r" join (reference J10 `withind`): expand the a-side MBR
+    * by r for the grid candidate phase, then exact distance filter.
+    */
+  def distanceJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme, r: Double): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val aExp = a.map(g => Geom(g.id, g.xmin - r, g.xmax + r, g.ymin - r, g.ymax + r))
+    val ac = withCells(prefixed(aExp, "a"), s, "a")
+    val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
+    // candidate = expanded-MBR intersect; dedup by ownership on the expanded pair
+    ac.join(bc, col("cell") === col("b_cell") && intersectPred && {
+        cellOfCol(s, greatest(col("a_xmin"), col("b_xmin")),
+                     greatest(col("a_ymin"), col("b_ymin"))) === col("cell")
+      })
+      // restore the true a MBR for the exact distance check
+      .withColumn("a_xmin", col("a_xmin") + lit(r)).withColumn("a_xmax", col("a_xmax") - lit(r))
+      .withColumn("a_ymin", col("a_ymin") + lit(r)).withColumn("a_ymax", col("a_ymax") - lit(r))
+      .withColumn("dist", minDistCol)
+      .filter(col("dist") <= lit(r))
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  // ---- kNN join --------------------------------------------------------------
+
+  /** Exact k-nearest-neighbours join (generalizes the reference's `nearestd`
+    * k=1 min-by, `PartitionedSpatialJoin.scala:250-256`): grid ring expansion —
+    * distance-join at radius r, keep a-rows with ≥ k candidates (their true
+    * kNN is then within r), double r for the rest. Deterministic tie-break by
+    * (dist, b_id). Driver iterations: O(log(extent/r0)).
+    */
+  def knnJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, k: Int,
+              bCount: Long): DataFrame = {
+    val spark = a.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val area = math.max(extent.width * extent.height, 1e-12)
+    var r = math.max(1e-9, 2.0 * math.sqrt(k * area / (math.Pi * math.max(bCount, 1L))))
+    val diag = math.sqrt(extent.width * extent.width + extent.height * extent.height)
+    var remaining = a
+    var acc: DataFrame = null
+    var iter = 0
+    while (iter < 48 && !remaining.isEmpty) {
+      val last = r >= 2 * diag
+      val s = CellScheme.forSize(extent, bCount, targetPerCell = 512L,
+        maxN = math.max(1, math.min(4096, (extent.width / math.max(r, 1e-9)).toInt)))
+      val cand = distanceJoin(remaining, b, s, r)
+      val w = Window.partitionBy(col("a_id")).orderBy(col("dist"), col("b_id"))
+      val ranked = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      val resolvedIds =
+        if (last) remaining.select(col("id").as("a_id"))
+        else cand.groupBy("a_id").count().filter(col("count") >= k).select("a_id")
+      val resolved = ranked.join(resolvedIds, "a_id")
+        .select(col("a_id"), col("b_id"), col("dist"), col("rank"))
+      acc = if (acc == null) resolved else acc.unionByName(resolved)
+      import spark.implicits._
+      remaining = if (last) spark.emptyDataset[Geom]
+                  else remaining.join(resolvedIds, remaining("id") === resolvedIds("a_id"), "left_anti")
+                    .as[Geom]
+      r *= 2; iter += 1
+    }
+    if (acc == null) prefixed(a, "a").limit(0)
+      .select(col("a_id"), col("a_id").as("b_id"), lit(0.0).as("dist"), lit(1).as("rank"))
+    else acc
+  }
+}
