@@ -57,6 +57,27 @@ object SparkEntry {
           partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
           grid, "a")
         .groupBy(col("cell")).agg(count(lit(1)).as("n_objs"))),
+    // J10 `withind`: distance join (exact MBR min-distance <= r)
+    "spatial_distance_join" -> ((s, dir) =>
+      SpatialJoins.distanceJoin(customerPoints.load(s, dir), partRects.load(s, dir), grid, 5.0)
+        .select(col("a_id"), col("b_id"))),
+    // J10 `nearestd` generalized: exact kNN (k=3), ring expansion
+    "spatial_knn_join" -> ((s, dir) =>
+      SpatialJoins.knnJoin(customerPoints.load(s, dir), orderPoints.load(s, dir),
+          mapExtent, 3, s.read.parquet(s"$dir/orders.parquet").count())
+        .select(col("a_id"), col("b_id"), col("rank"))),
+    // P6: self-join with id filter
+    "spatial_self_join" -> ((s, dir) => {
+      val p = partRects.load(s, dir)
+      SpatialJoins.gridJoin(p, p, grid).filter(col("a_id") =!= col("b_id"))
+    }),
+    // golden-workload join (reference generator, no SQL oracle — the count
+    // itself is the reference's published 378; asserted in GoldenSpec)
+    "spatial_golden_uniform_pp" -> ((s, _) =>
+      SpatialJoins.gridJoin(
+        graft.ingest.Workloads.uniformPolygons(s, 100000, 123),
+        graft.ingest.Workloads.uniformPolygons(s, 100000, 456),
+        CellScheme(Extent(0, 10001, 0, 10001), 128, 128))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +97,20 @@ object SparkEntry {
          | CAST(round(max(ymax) * 100) AS BIGINT) AS ymax_c
          | FROM (${partRects.sqlSelect})""".stripMargin.replace("\n", ""),
     "spatial_cell_stats" -> cellStatsOracle,
+    "spatial_distance_join" -> {
+      val dx = "greatest(b.xmin - a.xmax, a.xmin - b.xmax, 0)"
+      val dy = "greatest(b.ymin - a.ymax, a.ymin - b.ymax, 0)"
+      s"SELECT a.id AS a_id, b.id AS b_id FROM (${customerPoints.sqlSelect}) a " +
+        s"JOIN (${partRects.sqlSelect}) b ON sqrt($dx * $dx + $dy * $dy) <= 5.0"
+    },
+    "spatial_knn_join" ->
+      (s"SELECT a_id, b_id, rank FROM (SELECT a.id AS a_id, b.id AS b_id, " +
+        "row_number() OVER (PARTITION BY a.id ORDER BY " +
+        "sqrt((a.xmin - b.xmin) * (a.xmin - b.xmin) + (a.ymin - b.ymin) * (a.ymin - b.ymin)), b.id) AS rank " +
+        s"FROM (${customerPoints.sqlSelect}) a CROSS JOIN (${orderPoints.sqlSelect}) b) WHERE rank <= 3"),
+    "spatial_self_join" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
+        s"JOIN (${partRects.sqlSelect}) b ON $intersectSql AND a.id <> b.id"),
   )
 
   /** Cell replication as SQL: cross join with the two cell-range sequences.

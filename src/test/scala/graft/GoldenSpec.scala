@@ -1,0 +1,41 @@
+package graft
+
+import graft.cells.CellScheme
+import graft.geom.Extent
+import graft.ingest.Workloads
+import graft.join.SpatialJoins
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden result counts from the reference's published run JSONs
+  * (`spatial-join-baseline/cpp_scripts/CPU_perf_16_threads.json`, identical
+  * across CPU sync traversal and FPGA at every PE count — see BASELINE.md).
+  * These anchor our engine to the reference's exact MBR-intersect semantics
+  * including the float32 `%.2f` round-trip.
+  */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // objects span [0, 10001] after the +1.0 edge; grid over the data extent
+  private val ext = Extent(0.0, 10001.0, 0.0, 10001.0)
+
+  test("golden: Uniform PP 100K x 100K = 378") {
+    val a = Workloads.uniformPolygons(spark, 100000, 123)
+    val b = Workloads.uniformPolygons(spark, 100000, 456)
+    val s = CellScheme(ext, 128, 128)
+    assert(SpatialJoins.gridJoin(a, b, s).count() == 378L)
+  }
+
+  test("golden: Uniform PIP 100K x 100K = 97") {
+    val p = Workloads.uniformPoints(spark, 100000, 789)
+    val b = Workloads.uniformPolygons(spark, 100000, 123)
+    val s = CellScheme(ext, 128, 128)
+    assert(SpatialJoins.gridJoin(p, b, s).count() == 97L)
+  }
+
+  test("golden counts agree across physical plans (sweep, stripes)") {
+    val a = Workloads.uniformPolygons(spark, 100000, 123)
+    val b = Workloads.uniformPolygons(spark, 100000, 456)
+    assert(SpatialJoins.gridJoinSweep(a, b, CellScheme(ext, 64, 64)).count() == 378L)
+    assert(SpatialJoins.stripesJoin(a, b, ext, 512).count() == 378L)
+  }
+}
