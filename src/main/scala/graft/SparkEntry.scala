@@ -4,6 +4,7 @@ import graft.api.Derived._
 import graft.cells.CellScheme
 import graft.geom.Extent
 import graft.join.SpatialJoins
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,7 +79,66 @@ object SparkEntry {
         graft.ingest.Workloads.uniformPolygons(s, 100000, 123),
         graft.ingest.Workloads.uniformPolygons(s, 100000, 456),
         CellScheme(Extent(0, 10001, 0, 10001), 128, 128))),
+
+    // ---- training-data pipeline operators --------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
+    "dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 3, 1, 2)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashDedupPairs(docs(s, dir), 3, 64, 16, 1, 2)),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(withNearDups(docs(s, dir)), maxHam = 3)),
+    "embed_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, 5)
+    }),
+    "embed_lsh_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e, 5, 64)
+    }),
+    "embed_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(embs(s, dir), 400)),
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(docs(s, dir).select("doc_id", "text"), col("text")).drop("text")),
+    "text_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))),
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fp"))),
+    "text_signatures" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.SimHash.simhash64(col("text")).as("simhash"), col("text"))
+        .as[(Long, Long, String)]
+        .map { case (id, sh, t) => (id, sh, TextOps.winnowFingerprint(t)) }
+        .toDF("doc_id", "simhash", "winnow_fp")
+    }),
+    "media_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col => c}
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
+        .toDF().select(c("doc_id"), c("kind"), c("n_bytes"), c("checksum"))
+    }),
+    "pages_geo_join" -> ((s, dir) =>
+      graft.pipeline.Pages.geoJoin(
+        graft.pipeline.Pages.pagesFromDocuments(docs(s, dir)),
+        partRects.load(s, dir), grid)
+        .select(col("a_id"), col("b_id"), col("text_md5"))),
+    "events_window_agg" -> ((s, dir) =>
+      graft.streaming.EventsStream.windowedCounts(
+        s.read.parquet(s"$dir/events.parquet"))),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Mix deterministic near-duplicates into the documents (append a marker
+    * token to every 7th doc under a shifted id) so near-dup detectors have
+    * planted positives regardless of the corpus.
+    */
+  private def withNearDups(d: DataFrame): DataFrame = {
+    val mutated = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(mutated)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -111,6 +171,21 @@ object SparkEntry {
     "spatial_self_join" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
         s"JOIN (${partRects.sqlSelect}) b ON $intersectSql AND a.id <> b.id"),
+    "dedup_exact"   -> Dedup.exactDedupSql,
+    "dedup_jaccard" -> Dedup.jaccardPairsSql(3, 1, 2),
+    "embed_topk"    -> Similarity.bruteForceTopKSql(20, 5, 64),
+    "embed_neardup" -> Similarity.cosineNearDupSql(400, 64),
+    "text_quality"  -> TextOps.qualityMetricsSql("documents"),
+    "text_lang_id"  -> s"SELECT doc_id, ${TextOps.langIdSql} AS lang_guess FROM documents",
+    "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    "pages_geo_join" -> {
+      val px = graft.pipeline.Pages.geocodeSqlX
+      val py = graft.pipeline.Pages.geocodeSqlY
+      s"SELECT d.doc_id AS a_id, b.id AS b_id, md5(d.text) AS text_md5 " +
+        s"FROM documents d JOIN (${partRects.sqlSelect}) b " +
+        s"ON $px >= b.xmin AND $px <= b.xmax AND $py >= b.ymin AND $py <= b.ymax"
+    },
+    "events_window_agg" -> graft.streaming.EventsStream.windowedCountsSql,
   )
 
   /** Cell replication as SQL: cross join with the two cell-range sequences.

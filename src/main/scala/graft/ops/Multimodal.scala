@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed record for an opaque media blob + metadata. */
+final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte],
+                          width: Int, height: Int, sample_rate: Int)
+
+/** Extracted features — fixed shape regardless of decoder. */
+final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                               checksum: Long, histogram: Array[Long])
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata. The Spark-side plumbing (schema, partition-sized batching,
+  * iterator-based per-partition processing, fixed feature shape) is real and
+  * tested; the actual codec is STUBBED with a deterministic fake — this
+  * container has no image/audio libraries, and the decode seam is exactly
+  * where a real codec (or a `mapInPandas` python worker) would plug in.
+  */
+object Multimodal {
+
+  /** Deterministic fake "decode": byte histogram (16 buckets) + FNV checksum.
+    * >>> REAL-CODEC SEAM: replace the body with an actual decoder. <<<
+    */
+  def decodeStub(media: Array[Byte]): (Long, Array[Long]) = {
+    val hist = new Array[Long](16)
+    var h = graft.functions.SimHash.FnvOffset
+    var i = 0
+    while (i < media.length) {
+      hist((media(i) & 0xff) >> 4) += 1
+      h ^= (media(i) & 0xffL); h *= graft.functions.SimHash.FnvPrime
+      i += 1
+    }
+    (h, hist)
+  }
+
+  /** Synthesize a media table from the documents table: html-ish bytes as the
+    * blob (deterministic), metadata derived from doc_id. Stands in for a real
+    * Common-Crawl WARC payload column.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        concat(lit("<html><body>"), col("text"), lit("</body></html>")).as("payload"))
+      .as[(Long, String)]
+      .map { case (id, payload) =>
+        MediaRow(id, if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
+          payload.getBytes("UTF-8"), (id % 640).toInt, (id % 480).toInt, 16000)
+      }
+  }
+
+  /** Feature extraction over partitions — iterator in, iterator out (never
+    * materializes a partition), the same batch shape a vectorized python
+    * worker (`mapInPandas`) would see.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val (checksum, hist) = decodeStub(row.media)
+        MediaFeatures(row.doc_id, row.kind, row.media.length.toLong, checksum, hist)
+      }
+    }
+  }
+}

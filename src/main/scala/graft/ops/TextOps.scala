@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All are pure
+  * column expressions (whole-stage-codegen'd, no UDFs) with exact-integer
+  * outputs so the DuckDB oracle matches bit-for-bit.
+  */
+object TextOps {
+
+  /** Tokens = maximal runs of alphanumerics (deterministic across engines). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))).cast("long")
+
+  val tokenCountSql: String = "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+
+  /** Quality metrics in basis points (integer-exact): alphabetic ratio,
+    * whitespace ratio, mean token length ×100, plus raw counts.
+    * A simple composite quality flag mirrors heuristics like Gopher rules:
+    * enough tokens, sane mean token length, mostly alphabetic.
+    */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val len    = length(text).cast("long")
+    val alpha  = len - length(regexp_replace(text, "[A-Za-z]", ""))
+    val spaces = len - length(regexp_replace(text, " ", ""))
+    val toks   = tokenCount(text)
+    df.withColumn("n_chars", len)
+      .withColumn("n_tokens", toks)
+      .withColumn("alpha_bp", floor(alpha * 10000 / greatest(len, lit(1L))).cast("long"))
+      .withColumn("space_bp", floor(spaces * 10000 / greatest(len, lit(1L))).cast("long"))
+      .withColumn("mean_tok_len_c",
+        floor((len - spaces) * 100 / greatest(toks, lit(1L))).cast("long"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 10) && col("mean_tok_len_c").between(150, 1500) &&
+          (col("alpha_bp") >= 5000))
+  }
+
+  def qualityMetricsSql(from: String): String = {
+    val len    = "CAST(length(text) AS BIGINT)"
+    val alpha  = s"($len - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
+    val spaces = s"($len - length(regexp_replace(text, ' ', '', 'g')))"
+    val toks   = tokenCountSql
+    s"""SELECT doc_id, $len AS n_chars, $toks AS n_tokens,
+       | CAST(floor($alpha * 10000 / greatest($len, 1)) AS BIGINT) AS alpha_bp,
+       | CAST(floor($spaces * 10000 / greatest($len, 1)) AS BIGINT) AS space_bp,
+       | CAST(floor(($len - $spaces) * 100 / greatest($toks, 1)) AS BIGINT) AS mean_tok_len_c,
+       | ($toks >= 10 AND floor(($len - $spaces) * 100 / greatest($toks, 1)) BETWEEN 150 AND 1500
+       |   AND floor($alpha * 10000 / greatest($len, 1)) >= 5000) AS quality_ok
+       | FROM $from""".stripMargin.replace("\n", "")
+  }
+
+  /** Language-ID by stopword evidence: count hits of per-language marker
+    * regexes, pick the argmax (ties → lexicographically first language).
+    * An n-gram heuristic classifier — deliberately expressible in both Spark
+    * and DuckDB so the oracle can replay it.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|for|with)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein|zu)\\b",
+    "es" -> "\\b(el|la|los|las|es|y|en|que|de|por)\\b",
+    "fr" -> "\\b(le|la|les|est|et|dans|que|pour|une)\\b",
+  )
+
+  def langId(text: Column): Column = {
+    val counts = langMarkers.map { case (lang, re) =>
+      lang -> size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    }
+    // argmax with deterministic tie-break on language code
+    val best = counts.sortBy(_._1).reduceLeft { (a, b) =>
+      (a._1, when(b._2 > a._2, b._2).otherwise(a._2))
+    }
+    counts.sortBy(_._1).foldLeft(lit("und")) { case (acc, (lang, cnt)) =>
+      when(cnt > lit(0) && cnt === best._2 && acc === lit("und"), lit(lang)).otherwise(acc)
+    }
+  }
+
+  def langIdSql: String = {
+    val cs = langMarkers.sortBy(_._1).map { case (lang, re) =>
+      lang -> s"len(regexp_extract_all(text, '$re'))"
+    }
+    val best = cs.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)")
+    val cases = cs.map { case (lang, c) => s"WHEN $c > 0 AND $c = $best THEN '$lang'" }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Content fingerprint: md5 hex (cross-engine deterministic). The
+    * rolling-hash winnowing fingerprint (not SQL-expressible) lives in
+    * [[winnowFingerprint]].
+    */
+  def contentFingerprint(text: Column): Column = md5(text)
+
+  /** Winnowing document fingerprint (Schleimer et al. 2003): k-gram rolling
+    * hashes, minimum per window, distinct mins = fingerprint set; we return
+    * the set's xor-fold as a single long.
+    */
+  def winnowFingerprint(text: String, k: Int = 8, window: Int = 16): Long = {
+    val s = text.toLowerCase
+    if (s.length < k) return graft.functions.SimHash.fnv1a(s.getBytes("UTF-8"), 0, s.getBytes("UTF-8").length)
+    val hashes = new Array[Long](s.length - k + 1)
+    var i = 0
+    val bytes = s.getBytes("UTF-8")
+    while (i + k <= bytes.length) {
+      hashes(i) = graft.functions.SimHash.fnv1a(bytes, i, i + k)
+      i += 1
+    }
+    val n = hashes.length
+    val win = math.min(window, n)
+    var fp = 0L
+    var last = -1
+    var w = 0
+    while (w + win <= n) {
+      var minIdx = w
+      var j = w + 1
+      while (j < w + win) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != last) { fp ^= hashes(minIdx); last = minIdx }
+      w += 1
+    }
+    fp
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Versioned Parquet snapshot checkpoints with manifests — the sandbox stand-in
+  * for Iceberg snapshot checkpoints (no Iceberg jars offline; same semantics:
+  * atomic snapshot id, lineage to input snapshots, per-stage row counts,
+  * resume from the last committed id). Layout:
+  *
+  *   root/<stage>/<snapshotId>/data/part-*.parquet
+  *   root/<stage>/<snapshotId>/_manifest.json      (written LAST = commit point)
+  *
+  * A snapshot directory without `_manifest.json` is uncommitted garbage and is
+  * ignored by readers — writes are idempotent and restart-safe.
+  */
+final class Snapshots(spark: SparkSession, root: String) {
+
+  private def stageDir(stage: String): Path = Paths.get(root, stage)
+
+  /** Committed snapshot ids of a stage, ascending. */
+  def committed(stage: String): Seq[Long] = {
+    val d = stageDir(stage)
+    if (!Files.isDirectory(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_manifest.json")))
+      .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+      .toSeq.sorted
+  }
+
+  def latest(stage: String): Option[Long] = committed(stage).lastOption
+
+  /** Write a new snapshot of `df` for `stage`, recording input lineage.
+    * Returns the snapshot id. The manifest write is the commit point.
+    */
+  def commit(stage: String, df: DataFrame, inputs: Map[String, Long] = Map.empty): Long = {
+    val id = latest(stage).getOrElse(0L) + 1
+    val dir = stageDir(stage).resolve(id.toString)
+    val dataDir = dir.resolve("data")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    // per-partition lineage: file name -> row count (from the committed files)
+    val files = spark.read.parquet(dataDir.toString)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("f").count().collect()
+      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    val rows = files.values.sum
+    val manifest =
+      s"""{"snapshot_id": $id, "stage": "$stage", "rows": $rows,
+         | "inputs": {${inputs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}},
+         | "partitions": {${files.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(dir.resolve("_manifest.json"), manifest)
+    id
+  }
+
+  /** Read the latest committed snapshot of a stage. */
+  def read(stage: String): Option[DataFrame] =
+    latest(stage).map(id =>
+      spark.read.parquet(stageDir(stage).resolve(id.toString).resolve("data").toString))
+
+  /** Resume-or-compute: if the stage has a committed snapshot, read it;
+    * otherwise compute, commit, and return the committed data. This is the
+    * restart contract: a killed run recomputes only missing stages.
+    */
+  def getOrCompute(stage: String, inputs: Map[String, Long] = Map.empty)
+                  (compute: => DataFrame): DataFrame =
+    read(stage).getOrElse {
+      commit(stage, compute, inputs)
+      read(stage).get
+    }
+}

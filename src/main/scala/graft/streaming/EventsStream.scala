@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-streaming ingestion: the same transformation function serves the
+  * batch oracle query and the streaming job (write-once semantics — the
+  * streaming pipeline is the batch pipeline with a watermark).
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** 5-minute tumbling windows per event type; sums in integer cents so the
+    * DuckDB oracle is fp-exact. Works on both batch and streaming frames
+    * (`withWatermark` is a no-op in batch).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").cast("timestamp").cast("long").as("window_s"),
+              col("event_type"), col("n"), col("value_cents"))
+
+  val windowedCountsSql: String =
+    """SELECT (epoch_us(ts) // 300000000) * 300 AS window_s, event_type,
+      | count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+      | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
+  /** Per-user sessionization with a custom state machine
+    * (`flatMapGroupsWithState`): emits a session row when a user is idle
+    * longer than `gapMinutes`. The stateful-streaming surface of the engine.
+    */
+  final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gapUs = gapMinutes * 60L * 1000000L
+    val typed = events.select(col("user_id"), col("ts").cast("timestamp").cast("long").as("ts_s"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[(Long, Long, Long), Session](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+        val sorted = rows.map(_._2).toArray.sorted
+        var (start, end, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        sorted.foreach { t =>
+          if (start < 0) { start = t; end = t; n = 1 }
+          else if (t - end > gapMinutes * 60L) {
+            out += Session(user, start, end, n); start = t; end = t; n = 1
+          } else { end = t; n += 1 }
+        }
+        if (start >= 0) state.update((start, end, n))
+        out.iterator
+    }.toDF()
+  }
+
+  /** File-source streaming read of an events directory (parquet). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  def startMemorySink(df: DataFrame, name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+}
