@@ -104,6 +104,18 @@ object SpatialJoins {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** [[gridJoin]] with an explicit join-strategy hint on the b side
+    * ("shuffle_hash" avoids the SMJ sorts; "broadcast" removes the shuffle
+    * entirely when b's replicated form fits in memory — the J12 path).
+    */
+  def gridJoinHinted(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme,
+                     hintName: String): DataFrame = {
+    val ac = withCells(prefixed(a, "a"), s, "a")
+    val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell").hint(hintName)
+    ac.join(bc, col("cell") === col("b_cell") && intersectPred && ownsPred(s, col("cell")))
+      .select(col("a_id"), col("b_id"))
+  }
+
   // ---- cogroup + plane-sweep grid PBSM -------------------------------------
 
   private def replicate(ds: Dataset[Geom], s: CellScheme): Dataset[CellGeom] = {
@@ -119,8 +131,15 @@ object SpatialJoins {
     * instead of |A|·|B| (reference sweep `cpp/1d_stripes.hpp:16-68`, event
     * order `cpp/Event.h:37-45`).
     */
-  private[join] def sweepCell(cell: Long, s: CellScheme,
-                              as: Array[CellGeom], bs: Array[CellGeom]): Iterator[Pair] = {
+  private[graft] def sweepCell(cell: Long, s: CellScheme,
+                               as: Array[CellGeom], bs: Array[CellGeom]): Iterator[Pair] =
+    sweepOwned(as, bs, (rx, ry) => s.cellOf(rx, ry) == cell)
+
+  /** Plane sweep with a pluggable reference-point ownership test (shared by
+    * the plain grid and the adaptive two-level scheme).
+    */
+  private[graft] def sweepOwned(as: Array[CellGeom], bs: Array[CellGeom],
+                                ownsRef: (Double, Double) => Boolean): Iterator[Pair] = {
     if (as.isEmpty || bs.isEmpty) return Iterator.empty
     java.util.Arrays.sort(as, Ordering.by((g: CellGeom) => g.ymin))
     java.util.Arrays.sort(bs, Ordering.by((g: CellGeom) => g.ymin))
@@ -130,10 +149,8 @@ object SpatialJoins {
       private var k = 0                    // scan cursor on the opposite side
       private var pending: Pair = null
       private def xOverlapOwned(a: CellGeom, b: CellGeom): Boolean =
-        a.xmin <= b.xmax && a.xmax >= b.xmin && {
-          val rx = math.max(a.xmin, b.xmin); val ry = math.max(a.ymin, b.ymin)
-          s.cellOf(rx, ry) == cell
-        }
+        a.xmin <= b.xmax && a.xmax >= b.xmin &&
+          ownsRef(math.max(a.xmin, b.xmin), math.max(a.ymin, b.ymin))
       private def advance(): Unit = {
         while (pending == null && i < as.length && j < bs.length) {
           if (anchorA && as(i).ymin <= bs(j).ymin) {
@@ -176,6 +193,23 @@ object SpatialJoins {
   /** 1-D stripes plan (reference J5): an `n × 1` grid. */
   def stripesJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame =
     gridJoin(a, b, CellScheme.stripesX(extent, n))
+
+  /** PBSM with adaptive hot-cell refinement (reference J6's quadtree budget
+    * rule, see [[graft.skew.AdaptiveCells]]): plan splits from per-cell
+    * counts, then one cogroup on the packed two-level key.
+    */
+  def gridJoinAdaptive(a: Dataset[Geom], b: Dataset[Geom], base: CellScheme,
+                       budgetPairs: Long = 4L * 1024 * 1024): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val scheme = graft.skew.AdaptiveCells.plan(a, b, base, budgetPairs)
+    def replicateKeys(ds: Dataset[Geom]): Dataset[CellGeom] =
+      ds.flatMap(g => scheme.keysOf(g).map(k => CellGeom(k, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
+    replicateKeys(a).groupByKey(_.cell).cogroup(replicateKeys(b).groupByKey(_.cell)) {
+      (key, as, bs) =>
+        sweepOwned(as.toArray, bs.toArray, (rx, ry) => scheme.ownerKey(rx, ry) == key)
+    }.toDF("a_id", "b_id")
+  }
 
   // ---- distance join --------------------------------------------------------
 

@@ -1,0 +1,104 @@
+package graft.skew
+
+import graft.cells.CellScheme
+import graft.geom.Geom
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** Adaptive refinement of hot cells — the Spark re-expression of the
+  * reference's quadtree cell splitting under a comparison budget
+  * (`partition_multi.hpp:106-189`, budget `constants.hpp:4`).
+  *
+  * A coarse grid is planned first; cells whose |A|·|B| candidate product
+  * exceeds the budget are split into an `s × s` local subgrid (one-shot,
+  * `s` sized so the expected per-subcell product lands under budget). The
+  * final join key packs (base cell, subcell) into one Long, so the downstream
+  * plan is still a single equi-join/cogroup — skew handling never adds a
+  * shuffle. Min subcell size is clamped to the sampled median object extent
+  * (`partition_utils.hpp:226-277` semantics) to bound replication blow-up.
+  */
+final case class AdaptiveScheme(base: CellScheme, splits: Map[Long, Int]) {
+  // key layout: base cell id << 12 | (1 + subIdx); plain cells use subIdx slot 0
+  private final val SubBits = 12
+  require(splits.values.forall(s => s * s < (1 << SubBits) - 1), "split factor too large")
+
+  @inline private def subCoord(v: Double, lo: Double, len: Double, s: Int): Int = {
+    val i = math.floor((v - lo) / len).toInt
+    math.max(0, math.min(i, s - 1))
+  }
+
+  def ownerKey(x: Double, y: Double): Long = {
+    val c = base.cellOf(x, y)
+    splits.get(c) match {
+      case None => c << SubBits
+      case Some(s) =>
+        val cx = (c % base.nx).toInt; val cy = (c / base.nx).toInt
+        val lox = base.extent.xmin + cx * base.cellW
+        val loy = base.extent.ymin + cy * base.cellH
+        val sx = subCoord(x, lox, base.cellW / s, s)
+        val sy = subCoord(y, loy, base.cellH / s, s)
+        (c << SubBits) | (1L + sy.toLong * s + sx)
+    }
+  }
+
+  /** All final keys overlapped by an MBR. */
+  def keysOf(g: Geom): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    base.cellsOf(g).foreach { c =>
+      splits.get(c) match {
+        case None => out += (c << SubBits)
+        case Some(s) =>
+          val cx = (c % base.nx).toInt; val cy = (c / base.nx).toInt
+          val lox = base.extent.xmin + cx * base.cellW
+          val loy = base.extent.ymin + cy * base.cellH
+          val subW = base.cellW / s; val subH = base.cellH / s
+          val sx0 = subCoord(g.xmin, lox, subW, s); val sx1 = subCoord(g.xmax, lox, subW, s)
+          val sy0 = subCoord(g.ymin, loy, subH, s); val sy1 = subCoord(g.ymax, loy, subH, s)
+          var sy = sy0
+          while (sy <= sy1) {
+            var sx = sx0
+            while (sx <= sx1) { out += ((c << SubBits) | (1L + sy.toLong * s + sx)); sx += 1 }
+            sy += 1
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  def owns(key: Long, a: Geom, b: Geom): Boolean =
+    ownerKey(math.max(a.xmin, b.xmin), math.max(a.ymin, b.ymin)) == key
+}
+
+object AdaptiveCells {
+
+  /** Plan splits from per-cell counts: any cell with |A|·|B| > budget gets an
+    * s×s subgrid with s ≈ (|A|·|B| / budget)^(1/4) (each side shrinks ~s², the
+    * product ~s⁴ under uniformity), clamped by the median object size so a
+    * subcell never drops below ~2 median extents (replication bound).
+    */
+  def plan(a: Dataset[Geom], b: Dataset[Geom], base: CellScheme,
+           budgetPairs: Long = 4L * 1024 * 1024, maxSplit: Int = 32): AdaptiveScheme = {
+    import a.sparkSession.implicits._
+    def cellCounts(ds: Dataset[Geom]) =
+      ds.flatMap(g => base.cellsOf(g)).groupByKey(identity).count()
+    val counts = cellCounts(a).toDF("cell", "na")
+      .join(cellCounts(b).toDF("cell_b", "nb"), col("cell") === col("cell_b"))
+      .select(col("cell"), col("na"), col("nb"))
+      .filter(col("na") * col("nb") > budgetPairs)
+      .collect()
+    if (counts.isEmpty) return AdaptiveScheme(base, Map.empty)
+    // median object extent (sampled) bounds the split factor
+    val med = a.limit(100000).select(
+      expr("percentile(xmax - xmin, 0.5)"), expr("percentile(ymax - ymin, 0.5)")).head()
+    val medW = math.max(med.getDouble(0), 1e-12); val medH = math.max(med.getDouble(1), 1e-12)
+    val sCapW = math.max(1, (base.cellW / (2 * medW)).toInt)
+    val sCapH = math.max(1, (base.cellH / (2 * medH)).toInt)
+    val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
+    val splits = counts.map { r =>
+      val prod = r.getLong(1).toDouble * r.getLong(2).toDouble
+      val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1
+      r.getLong(0) -> math.max(2, math.min(s, sCap))
+    }.filter(_._2 >= 2).toMap
+    AdaptiveScheme(base, splits)
+  }
+}
