@@ -122,6 +122,34 @@ object SparkEntry {
     "events_window_agg" -> ((s, dir) =>
       graft.streaming.EventsStream.windowedCounts(
         s.read.parquet(s"$dir/events.parquet"))),
+    // S4: WKT format + parse round-trip (identity on the derived rects)
+    "source_wkt_roundtrip" -> ((s, dir) => {
+      val g = partRects.load(s, dir)
+      val wkt = g.select(col("id"),
+        graft.sources.Traces.toWkt(col("xmin"), col("xmax"), col("ymin"), col("ymax")).as("w"))
+      wkt.select(col("id"), graft.sources.Traces.parseWktMbr(col("w")).as("m"))
+        .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),
+                col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
+    }),
+    // S1: reference text-trace write + distributed scan (float32 semantics)
+    "source_text_trace" -> ((s, dir) => {
+      val g = customerPoints.load(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_trace_${dir.hashCode}.txt"
+      graft.sources.Traces.writeTextTrace(g, path)
+      graft.sources.Traces.readTextTrace(s, path).toDF()
+    }),
+    // SQL surface: st_intersects join, rewritten by SpatialJoinRule into the
+    // cell-partitioned equi-join (no cartesian product in the physical plan)
+    "spatial_sql_join" -> ((s, dir) => {
+      graft.plans.GraftSql.install(s)
+      s.conf.set(graft.plans.SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+      s.conf.set(graft.plans.SpatialJoinRule.GridKey, "64")
+      partRects.load(s, dir).createOrReplaceTempView("graft_a")
+      ordersRects.load(s, dir).createOrReplaceTempView("graft_b")
+      s.sql("""SELECT a.id AS a_id, b.id AS b_id FROM graft_a a JOIN graft_b b
+              | ON st_intersects(a.xmin, a.xmax, a.ymin, a.ymax,
+              |                  b.xmin, b.xmax, b.ymin, b.ymax)""".stripMargin)
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -186,6 +214,16 @@ object SparkEntry {
         s"ON $px >= b.xmin AND $px <= b.xmax AND $py >= b.ymin AND $py <= b.ymax"
     },
     "events_window_agg" -> graft.streaming.EventsStream.windowedCountsSql,
+    "spatial_sql_join"  -> joinOracle(partRects, ordersRects),
+    // %.2f round-trips: HALF_UP at 2 decimals == round(x, 2) in both engines
+    "source_wkt_roundtrip" ->
+      (s"SELECT id, round(xmin, 2) AS xmin, round(xmax, 2) AS xmax, " +
+        s"round(ymin, 2) AS ymin, round(ymax, 2) AS ymax FROM (${partRects.sqlSelect})"),
+    "source_text_trace" ->
+      (s"SELECT id, CAST(CAST(round(xmin, 2) AS REAL) AS DOUBLE) AS xmin, " +
+        s"CAST(CAST(round(xmax, 2) AS REAL) AS DOUBLE) AS xmax, " +
+        s"CAST(CAST(round(ymin, 2) AS REAL) AS DOUBLE) AS ymin, " +
+        s"CAST(CAST(round(ymax, 2) AS REAL) AS DOUBLE) AS ymax FROM (${customerPoints.sqlSelect})"),
   )
 
   /** Cell replication as SQL: cross join with the two cell-range sequences.

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.geom.Geom
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers/writers for the reference's interchange formats.
+  *
+  *  - text trace (`C_*.txt`): first line `num_rows`, then
+  *    `id xlow xhigh ylow yhigh` per line, `%.2f` floats
+  *    (`spatial-join-baseline/cpp/singlethread.cpp:62-91`,
+  *    `data_gen/data_gen.py:69-76`). Values are float32 in the reference —
+  *    parsed via float and widened, so golden counts carry over.
+  *  - WKT (`POLYGON((x y, …))` / `POINT(x y)`) as consumed by the
+  *    SpatialSpark/PostGIS scripts (`data_gen.py:77-83,117-123`). Parsing
+  *    extracts the MBR (the reference never evaluates exact polygon
+  *    geometry — SURVEY.md §1.1).
+  */
+object Traces {
+
+  /** Distributed text-trace scan. The header line (single field) is dropped
+    * per-partition — at cluster scale the file splits across executors and
+    * only the first split carries it.
+    */
+  def readTextTrace(spark: SparkSession, path: String): Dataset[Geom] = {
+    import spark.implicits._
+    spark.read.text(path).select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) === 5)
+      .select(
+        element_at(col("f"), 1).cast("long").as("id"),
+        element_at(col("f"), 2).cast("float").cast("double").as("xmin"),
+        element_at(col("f"), 3).cast("float").cast("double").as("xmax"),
+        element_at(col("f"), 4).cast("float").cast("double").as("ymin"),
+        element_at(col("f"), 5).cast("float").cast("double").as("ymax"))
+      .as[Geom]
+  }
+
+  /** Write a small dataset as a single reference-format trace file (header +
+    * `%.2f` lines). Local materialization — fixture/export use, not a
+    * distributed sink (the parquet sink is the scale path).
+    */
+  def writeTextTrace(ds: Dataset[Geom], path: String): Unit = {
+    val rows = ds.collect().sortBy(_.id)
+    val sb = new StringBuilder
+    sb.append(rows.length).append('\n')
+    rows.foreach { g =>
+      sb.append(g.id).append(' ')
+        .append(f"${g.xmin}%.2f ").append(f"${g.xmax}%.2f ")
+        .append(f"${g.ymin}%.2f ").append(f"${g.ymax}%.2f").append('\n')
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  private val numRe = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"
+
+  /** Parse WKT POINT/POLYGON text into an MBR struct
+    * `(xmin, xmax, ymin, ymax)` — pure column expressions (codegen'd).
+    */
+  def parseWktMbr(wkt: Column): Column = {
+    val nums = transform(regexp_extract_all(wkt, lit(numRe), lit(0)), _.cast("double"))
+    val xs = filter(nums, (_, i) => i % 2 === 0)
+    val ys = filter(nums, (_, i) => i % 2 === 1)
+    when(size(nums) >= 2 && size(nums) % 2 === 0,
+      struct(array_min(xs).as("xmin"), array_max(xs).as("xmax"),
+             array_min(ys).as("ymin"), array_max(ys).as("ymax")))
+  }
+
+  /** Format an MBR as the reference's WKT (degenerate → POINT). */
+  def toWkt(xmin: Column, xmax: Column, ymin: Column, ymax: Column): Column = {
+    def f(c: Column) = format_string("%.2f", c)
+    when(xmin === xmax && ymin === ymax,
+      concat(lit("POINT("), f(xmin), lit(" "), f(ymin), lit(")")))
+      .otherwise(concat(
+        lit("POLYGON(("),
+        f(xmin), lit(" "), f(ymin), lit(", "),
+        f(xmin), lit(" "), f(ymax), lit(", "),
+        f(xmax), lit(" "), f(ymax), lit(", "),
+        f(xmax), lit(" "), f(ymin), lit(", "),
+        f(xmin), lit(" "), f(ymin), lit("))")))
+  }
+
+  /** WKT scan: text file → parsed MBRs with line ids (SpatialSpark's
+    * `textFile + zipWithIndex` pattern, `SpatialJoinApp.scala:160-169`);
+    * parse failures are dropped (reference P4).
+    */
+  def readWkt(spark: SparkSession, path: String): Dataset[Geom] = {
+    import spark.implicits._
+    spark.read.text(path)
+      .select(monotonically_increasing_id().as("id"), parseWktMbr(col("value")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),
+              col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
+      .as[Geom]
+  }
+}

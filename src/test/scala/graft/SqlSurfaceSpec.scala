@@ -1,0 +1,46 @@
+package graft
+
+import graft.plans.{GraftSql, SpatialJoinRule}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("st_intersects join is rewritten to the cell plan and matches the oracle") {
+    GraftSql.install(spark)
+    spark.conf.set(SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+    spark.conf.set(SpatialJoinRule.GridKey, "32")
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.api.Derived.partRects.load(spark, dir)
+    val b = graft.api.Derived.ordersRects.load(spark, dir)
+    a.createOrReplaceTempView("sql_a")
+    b.createOrReplaceTempView("sql_b")
+    val df = spark.sql(
+      """SELECT a.id AS a_id, b.id AS b_id FROM sql_a a JOIN sql_b b
+        | ON st_intersects(a.xmin, a.xmax, a.ymin, a.ymax,
+        |                  b.xmin, b.xmax, b.ymin, b.ymax)""".stripMargin)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"rewrite did not fire:\n$phys")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.join.SpatialJoins.broadcastNL(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("st_intersects evaluates standalone (marker expression fallback)") {
+    GraftSql.install(spark)
+    val r = spark.sql(
+      "SELECT st_intersects(0.0, 1.0, 0.0, 1.0, 1.0, 2.0, 1.0, 2.0) AS touch, " +
+      "st_intersects(0.0, 1.0, 0.0, 1.0, 1.5, 2.0, 0.0, 1.0) AS gap").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("simhash64 is available in SQL") {
+    GraftSql.install(spark)
+    val r = spark.sql("SELECT simhash64('hello world') AS h").head().getLong(0)
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(r == graft.functions.SimHash.hash64(UTF8String.fromString("hello world")))
+  }
+}
