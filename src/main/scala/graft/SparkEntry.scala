@@ -122,6 +122,29 @@ object SparkEntry {
     "events_window_agg" -> ((s, dir) =>
       graft.streaming.EventsStream.windowedCounts(
         s.read.parquet(s"$dir/events.parquet"))),
+    // J10 predicate variants: within / contains / overlaps
+    "spatial_within_join" -> ((s, dir) =>
+      SpatialJoins.gridJoinPred(partRects.load(s, dir), ordersRects.load(s, dir), grid,
+        SpatialJoins.withinPred)),
+    "spatial_contains_join" -> ((s, dir) =>
+      SpatialJoins.gridJoinPred(partRects.load(s, dir), ordersRects.load(s, dir), grid,
+        SpatialJoins.containsPred)),
+    "spatial_overlaps_join" -> ((s, dir) =>
+      SpatialJoins.gridJoinPred(partRects.load(s, dir), ordersRects.load(s, dir), grid,
+        SpatialJoins.overlapsPred)),
+    // salting path for degenerate hot cells (same result set as gridJoin)
+    "spatial_salted_join" -> ((s, dir) =>
+      SpatialJoins.gridJoinSalted(partRects.load(s, dir), ordersRects.load(s, dir), grid, 4)),
+    // full resumable pipeline with snapshots + per-cell metrics
+    "pipeline_full" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+      val runner = new graft.pipeline.Runner(s, root, grid)
+      runner.run(
+        graft.pipeline.Pages.pagesFromDocuments(docs(s, dir)),
+        partRects.load(s, dir))
+        .filter(col("text_md5_in") === col("text_md5_out")) // invariant witness
+        .select(col("a_id"), col("b_id"), col("text_md5_out").as("text_md5"))
+    }),
     // S4: WKT format + parse round-trip (identity on the derived rects)
     "source_wkt_roundtrip" -> ((s, dir) => {
       val g = partRects.load(s, dir)
@@ -215,6 +238,24 @@ object SparkEntry {
     },
     "events_window_agg" -> graft.streaming.EventsStream.windowedCountsSql,
     "spatial_sql_join"  -> joinOracle(partRects, ordersRects),
+    "spatial_salted_join" -> joinOracle(partRects, ordersRects),
+    "spatial_within_join" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
+        s"JOIN (${ordersRects.sqlSelect}) b ON ${SpatialJoins.withinSql}"),
+    "spatial_contains_join" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
+        s"JOIN (${ordersRects.sqlSelect}) b ON ${SpatialJoins.containsSql}"),
+    "spatial_overlaps_join" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
+        s"JOIN (${ordersRects.sqlSelect}) b ON $intersectSql " +
+        s"AND NOT (${SpatialJoins.withinSql}) AND NOT (${SpatialJoins.containsSql})"),
+    "pipeline_full" -> {
+      val px = graft.pipeline.Pages.geocodeSqlX
+      val py = graft.pipeline.Pages.geocodeSqlY
+      s"SELECT d.doc_id AS a_id, b.id AS b_id, md5(d.text) AS text_md5 " +
+        s"FROM documents d JOIN (${partRects.sqlSelect}) b " +
+        s"ON $px >= b.xmin AND $px <= b.xmax AND $py >= b.ymin AND $py <= b.ymax"
+    },
     // %.2f round-trips: HALF_UP at 2 decimals == round(x, 2) in both engines
     "source_wkt_roundtrip" ->
       (s"SELECT id, round(xmin, 2) AS xmin, round(xmax, 2) AS xmax, " +

@@ -43,6 +43,28 @@ object SpatialJoins {
     col("a_xmin") <= col("b_xmax") && col("a_xmax") >= col("b_xmin") &&
     col("a_ymin") <= col("b_ymax") && col("a_ymax") >= col("b_ymin")
 
+  /** Predicate variants over MBRs (the reference's SpatialSpark surface,
+    * `SpatialJoinApp.scala:128-136`): `within` = a inside b (inclusive),
+    * `contains` = b inside a, `overlaps` = intersect but neither contains
+    * the other. All are refinements of intersect, so they run as a post-join
+    * filter on the same cell-partitioned plan with unchanged dedup.
+    */
+  val withinPred: Column =
+    col("a_xmin") >= col("b_xmin") && col("a_xmax") <= col("b_xmax") &&
+    col("a_ymin") >= col("b_ymin") && col("a_ymax") <= col("b_ymax")
+
+  val containsPred: Column =
+    col("b_xmin") >= col("a_xmin") && col("b_xmax") <= col("a_xmax") &&
+    col("b_ymin") >= col("a_ymin") && col("b_ymax") <= col("a_ymax")
+
+  val overlapsPred: Column = intersectPred && !withinPred && !containsPred
+
+  /** SQL texts of the variant predicates (a/b-aliased), for oracles. */
+  val withinSql =
+    "a.xmin >= b.xmin AND a.xmax <= b.xmax AND a.ymin >= b.ymin AND a.ymax <= b.ymax"
+  val containsSql =
+    "b.xmin >= a.xmin AND b.xmax <= a.xmax AND b.ymin >= a.ymin AND b.ymax <= a.ymax"
+
   /** Global extent via a single min/max aggregation (reference A2). */
   def extentOf(ds: Dataset[Geom]): Extent = {
     val r = ds.agg(min("xmin"), max("xmax"), min("ymin"), max("ymax")).head()
@@ -193,6 +215,37 @@ object SpatialJoins {
   /** 1-D stripes plan (reference J5): an `n × 1` grid. */
   def stripesJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame =
     gridJoin(a, b, CellScheme.stripesX(extent, n))
+
+  /** [[gridJoin]] restricted by an additional predicate variant (within /
+    * contains / overlaps). The candidate phase and dedup are those of the
+    * intersect join; the variant is a refinement filter.
+    */
+  def gridJoinPred(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme,
+                   pred: Column): DataFrame = {
+    val ac = withCells(prefixed(a, "a"), s, "a")
+    val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
+    ac.join(bc, col("cell") === col("b_cell") && intersectPred && ownsPred(s, col("cell")))
+      .filter(pred)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Salted grid join for degenerate hot cells (e.g. many identical points):
+    * the a-side of every cell is hashed into `salt` buckets; the b-side is
+    * replicated into all buckets. Each (a, b) candidate pair meets in exactly
+    * one (cell, bucket), so reference-point dedup is unchanged. One shuffle,
+    * `salt`× more b-side rows, `salt`× more parallelism inside hot cells.
+    */
+  def gridJoinSalted(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme,
+                     salt: Int): DataFrame = {
+    require(salt >= 1)
+    val ac = withCells(prefixed(a, "a"), s, "a")
+      .withColumn("skey", col("cell") * salt + pmod(xxhash64(col("a_id")), lit(salt.toLong)))
+    val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
+      .withColumn("bucket", explode(sequence(lit(0L), lit(salt - 1L))))
+      .withColumn("b_skey", col("b_cell") * salt + col("bucket"))
+    ac.join(bc, col("skey") === col("b_skey") && intersectPred && ownsPred(s, col("cell")))
+      .select(col("a_id"), col("b_id"))
+  }
 
   /** PBSM with adaptive hot-cell refinement (reference J6's quadtree budget
     * rule, see [[graft.skew.AdaptiveCells]]): plan splits from per-cell
