@@ -70,6 +70,34 @@ object Bench {
     (tGen, med, res)
   }
 
+  /** Uniform PP at n×n (result-heavy; golden 4,040,818 at 10M×10M) and the
+    * skewed gaussian ("OSM-like") PP through the adaptive join.
+    */
+  private def headlinePP(spark: SparkSession, n: Long): (Double, Long) = {
+    val ext = Extent(0, 10001, 0, 10001)
+    val s = CellScheme.forSize(ext, n, targetPerCell = 16, maxN = 8192)
+    val a = Workloads.uniformPolygons(spark, n, 123, parts = 64).cache()
+    val b = Workloads.uniformPolygons(spark, n, 456, parts = 64).cache()
+    a.count(); b.count()
+    time { SpatialJoins.gridJoin(a, b, s).count() } // warm-up
+    val (t, res) = time { SpatialJoins.gridJoin(a, b, s).count() }
+    a.unpersist(); b.unpersist()
+    (t, res)
+  }
+
+  private def headlineSkew(spark: SparkSession, n: Long): (Double, Long) = {
+    val ext = Extent(0, 10003, 0, 10003)
+    val a = Workloads.gaussianPolygons(spark, n, seed = 1, meanEdge = 2.0, parts = 64).cache()
+    val b = Workloads.gaussianPolygons(spark, n, seed = 2, meanEdge = 2.0, parts = 64).cache()
+    a.count(); b.count()
+    val base = CellScheme.forSize(ext, n, targetPerCell = 256, maxN = 2048)
+    val (t, res) = time {
+      SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 1L << 22).count()
+    }
+    a.unpersist(); b.unpersist()
+    (t, res)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -88,6 +116,8 @@ object Bench {
 
     // ---- phase 2: headline throughput at full cores ------------------------
     val (tGenBig, tJoinBig, resBig) = headline(spark, benchN)
+    val (tPP, resPP) = headlinePP(spark, benchN)
+    val (tSkew, resSkew) = headlineSkew(spark, math.max(benchN / 5, 100000L))
     spark.stop()
 
     // ---- phase 3: two-cluster-size protocol, N=2 vs 4N=8 cores -------------
@@ -114,7 +144,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + tJoinBig + tGenBig + tJoinSmall + tJoinMid
     val throughput =
       s"""{"workload":"uniform_pip_${benchN}x$benchN","join_sec":$tJoinBig,""" +
-      s""""gen_sec":$tGenBig,"results":$resBig,"input_rows_per_sec":$rowsPerSec}"""
+      s""""gen_sec":$tGenBig,"results":$resBig,"input_rows_per_sec":$rowsPerSec,""" +
+      s""""pp_join_sec":$tPP,"pp_results":$resPP,"pp_result_rows_per_sec":${resPP / tPP},""" +
+      s""""skew_join_sec":$tSkew,"skew_results":$resSkew}"""
     val scaling =
       s"""{"cores_n":$nSmall,"cores_4n":$nMid,"join_sec_n":$tJoinSmall,""" +
       s""""join_sec_4n":$tJoinMid,"speedup":${tJoinSmall / tJoinMid},"efficiency":$eff,""" +
@@ -137,6 +169,8 @@ object Bench {
          || join time @ local[$nSmall] | ${f"$tJoinSmall%.3f"} s |
          || results | $resBig |
          || joined input rows/s @ local[$cpus] | ${f"${rowsPerSec / 1e6}%.2f"} M |
+         || Uniform PP ${benchN}×$benchN join / results | ${f"$tPP%.3f"} s / $resPP (${f"${resPP / tPP / 1e6}%.2f"} M results/s) |
+         || Gaussian (OSM-like) PP ${math.max(benchN / 5, 100000L)}×same, adaptive join | ${f"$tSkew%.3f"} s / $resSkew results |
          || N→4N scaling (local[$nSmall]→local[$nMid]) | ${f"${tJoinSmall / tJoinMid}%.2f"}× (ideal 4×), efficiency ${f"$eff%.2f"} |
          || 4N→full (local[$nMid]→local[$cpus]) | efficiency ${f"$effWide%.2f"} |
          |
