@@ -84,6 +84,24 @@ object SpatialJoins {
     prefixed(a, "a").join(broadcast(prefixed(b, "b")), intersectPred)
       .select(col("a_id"), col("b_id"))
 
+  /** Single entry point with automatic physical-strategy choice (the
+    * reference's join-direction / index-side heuristics, SURVEY §4): tiny
+    * side → broadcast nested loop (built on the smaller side); otherwise the
+    * cell-partitioned grid join sized from the larger side's row count.
+    */
+  def intersectJoin(a: Dataset[Geom], b: Dataset[Geom],
+                    broadcastThreshold: Long = 10000L): DataFrame = {
+    val ca = a.count(); val cb = b.count()
+    if (cb <= broadcastThreshold) broadcastNL(a, b)
+    else if (ca <= broadcastThreshold)
+      broadcastNL(b, a).select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    else {
+      val s = CellScheme.forSize(jointExtent(a, b), math.max(ca, cb),
+        targetPerCell = 16, maxN = 8192)
+      gridJoin(a, b, s)
+    }
+  }
+
   // ---- declarative grid PBSM ------------------------------------------------
 
   /** Clamped cell coordinate of `v` along one axis, as a column. */

@@ -39,16 +39,22 @@ final class Snapshots(spark: SparkSession, root: String) {
     val dir = stageDir(stage).resolve(id.toString)
     val dataDir = dir.resolve("data")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    // per-partition lineage: file name -> row count (from the committed files)
-    val files = spark.read.parquet(dataDir.toString)
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
-      .groupBy("f").count().collect()
-      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
-    val rows = files.values.sum
+    // per-partition lineage: file name -> (row count, order-insensitive
+    // content hash: xor-fold of per-row xxhash64 over all columns)
+    import org.apache.spark.sql.functions._
+    val committedDf = spark.read.parquet(dataDir.toString)
+    val files = committedDf
+      .select(input_file_name().as("f"),
+        xxhash64(committedDf.columns.map(col): _*).as("h"))
+      .groupBy("f").agg(count(lit(1)).as("n"), bit_xor(col("h")).as("hash"))
+      .collect()
+      .map(r => r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = files.values.map(_._1).sum
     val manifest =
       s"""{"snapshot_id": $id, "stage": "$stage", "rows": $rows,
          | "inputs": {${inputs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}},
-         | "partitions": {${files.map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}}"""
+         | "partitions": {${files.map { case (k, (n, h)) =>
+             s""""$k": {"rows": $n, "hash": $h}""" }.mkString(", ")}}}"""
         .stripMargin.replace("\n", "")
     Files.writeString(dir.resolve("_manifest.json"), manifest)
     id
