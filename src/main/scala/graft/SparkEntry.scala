@@ -122,6 +122,13 @@ object SparkEntry {
     "events_window_agg" -> ((s, dir) =>
       graft.streaming.EventsStream.windowedCounts(
         s.read.parquet(s"$dir/events.parquet"))),
+    // tile assignments (north rule: "emit identical tile assignments"):
+    // the full id -> cell replication set of the a-side
+    "spatial_tile_assignments" -> ((s, dir) =>
+      SpatialJoins.withCells(
+          partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
+          grid, "a")
+        .select(col("a_id").as("id"), col("cell"))),
     // J10 predicate variants: within / contains / overlaps
     "spatial_within_join" -> ((s, dir) =>
       SpatialJoins.gridJoinPred(partRects.load(s, dir), ordersRects.load(s, dir), grid,
@@ -208,6 +215,7 @@ object SparkEntry {
          | CAST(round(max(ymax) * 100) AS BIGINT) AS ymax_c
          | FROM (${partRects.sqlSelect})""".stripMargin.replace("\n", ""),
     "spatial_cell_stats" -> cellStatsOracle,
+    "spatial_tile_assignments" -> tileAssignOracle,
     "spatial_distance_join" -> {
       val dx = "greatest(b.xmin - a.xmax, a.xmin - b.xmax, 0)"
       val dy = "greatest(b.ymin - a.ymax, a.ymin - b.ymax, 0)"
@@ -266,6 +274,19 @@ object SparkEntry {
         s"CAST(CAST(round(ymin, 2) AS REAL) AS DOUBLE) AS ymin, " +
         s"CAST(CAST(round(ymax, 2) AS REAL) AS DOUBLE) AS ymax FROM (${customerPoints.sqlSelect})"),
   )
+
+  private def tileAssignOracle: String = {
+    val w = grid.cellW; val h = grid.cellH; val n = grid.nx
+    def cc(v: String, lo: Double, len: Double, nn: Int): String =
+      s"least(greatest(CAST(floor(($v - $lo) / $len) AS BIGINT), 0), ${nn - 1})"
+    s"""SELECT id, cy * $n + cx AS cell FROM (
+       | SELECT id, unnest(range(${cc("xmin", 0.0, w, n)}, ${cc("xmax", 0.0, w, n)} + 1)) AS cx, cy
+       | FROM (
+       |   SELECT id, xmin, xmax, unnest(range(${cc("ymin", 0.0, h, n)}, ${cc("ymax", 0.0, h, n)} + 1)) AS cy
+       |   FROM (${partRects.sqlSelect})
+       | )
+       |)""".stripMargin.replace("\n", "")
+  }
 
   /** Cell replication as SQL: cross join with the two cell-range sequences.
     * Must mirror `SpatialJoins.withCells` (clamped floor arithmetic).

@@ -32,6 +32,13 @@ class GoldenSpec extends AnyFunSuite {
     assert(SpatialJoins.gridJoin(p, b, s).count() == 97L)
   }
 
+  test("golden: asymmetric Uniform PIP 100K x 1M = 1,059") {
+    val p = Workloads.uniformPoints(spark, 100000, 789)
+    val b = Workloads.uniformPolygons(spark, 1000000, 123)
+    val s = CellScheme(ext, 256, 256)
+    assert(SpatialJoins.gridJoin(p, b, s).count() == 1059L)
+  }
+
   test("golden counts agree across physical plans (sweep, stripes)") {
     val a = Workloads.uniformPolygons(spark, 100000, 123)
     val b = Workloads.uniformPolygons(spark, 100000, 456)
