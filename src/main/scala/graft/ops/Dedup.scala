@@ -43,15 +43,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("a_id", "sh")
-    val b = sh.toDF("b_id", "sh_b")
-    val common = a.join(b, col("sh") === col("sh_b") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    val shArr = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
+    val sh = shArr.select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val a = sh.toDF("a_id", "a_n", "sh")
+    val b = sh.toDF("b_id", "b_n", "sh_b")
+    // length filter: jaccard >= num/den implies num*|a| <= den*|b| (and sym.)
+    val common = a.join(b, col("sh") === col("sh_b") && col("a_id") < col("b_id") &&
+        col("a_n") * num <= col("b_n") * den && col("b_n") * num <= col("a_n") * den)
+      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("common"))
     common
-      .join(sizes.toDF("a_id", "a_n"), "a_id")
-      .join(sizes.toDF("b_id", "b_n"), "b_id")
       .filter(col("common") * den >= lit(num) * (col("a_n") + col("b_n") - col("common")))
       .select(col("a_id"), col("b_id"))
   }
@@ -81,6 +81,41 @@ object Dedup {
        |  JOIN sizes sa ON sa.doc_id = a_id
        |  JOIN sizes sb ON sb.doc_id = b_id
        | WHERE common * $den >= $num * (sa.n_sh + sb.n_sh - common)""".stripMargin.replace("\n", " ")
+  }
+
+  /** AllPairs/PPJoin-style prefix-filtered exact Jaccard (Bayardo et al.
+    * 2007, public algorithm): order each document's shingles by ascending
+    * global frequency; for threshold t = num/den only the first
+    * `⌊(1−t)·|d|⌋ + 1` shingles (the rarest ones) need to be indexed — two
+    * documents with Jaccard ≥ t must collide on at least one prefix shingle.
+    * Candidates are verified exactly. Same output as [[jaccardPairs]], with
+    * the candidate set cut from "docs sharing any shingle" to "docs sharing a
+    * rare prefix shingle" — the web-scale version of the shingle join.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, k: Int, num: Int, den: Int,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = num.toDouble / den
+    val shArr = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // global order = (df, sh); rank shingles per doc, keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .join(shArr.select(col("id"), size(col("shs")).as("n")), "id")
+      .filter(col("pos") <= floor((lit(1.0) - t) * col("n")) + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.toDF("a_id", "sh")
+      .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand.join(shArr.toDF("a_id", "a_shs"), "a_id")
+      .join(shArr.toDF("b_id", "b_shs"), "b_id")
+      .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
+      .filter(col("common") * den >=
+        lit(num) * (size(col("a_shs")) + size(col("b_shs")) - col("common")))
+      .select(col("a_id"), col("b_id"))
   }
 
   // ---- MinHash LSH -----------------------------------------------------------

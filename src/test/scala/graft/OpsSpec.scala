@@ -91,6 +91,23 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("prefix-filtered jaccard == plain jaccard on randomized corpora") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val c = (0L until 60L).map { i =>
+        (i, (0 to 5 + rnd.nextInt(25)).map(_ => s"w${rnd.nextInt(20)}").mkString(" "))
+      } ++ (0L until 12L).map(i => (i + 500, corpus(i.toInt)._2 + " tail"))
+      val df = c.toDF("doc_id", "text")
+      for ((num, den) <- Seq((1, 2), (3, 10), (4, 5))) {
+        val plain = Dedup.jaccardPairs(df, 2, num, den).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pref = Dedup.jaccardPairsPrefix(df, 2, num, den).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pref == plain, s"seed=$seed t=$num/$den")
+      }
+    }
+  }
+
   test("minhash pipeline: exact-verified subset, finds exact dups") {
     val df = corpus.toDF("doc_id", "text")
     val jac = Dedup.jaccardPairs(df, 3, 1, 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
