@@ -129,6 +129,16 @@ object SparkEntry {
           partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
           grid, "a")
         .select(col("a_id").as("id"), col("cell"))),
+    // raster <-> vector: coverage rasterization, vectorization, zonal stats
+    "raster_coverage" -> ((s, dir) =>
+      graft.ops.Raster.rasterize(partRects.load(s, dir), grid)),
+    "raster_vectorize" -> ((s, dir) =>
+      graft.ops.Raster.vectorize(
+        graft.ops.Raster.rasterize(partRects.load(s, dir), grid), grid, 2L).toDF()),
+    "raster_zonal_stats" -> ((s, dir) =>
+      graft.ops.Raster.zonalStats(
+        graft.ops.Raster.rasterize(customerPoints.load(s, dir), grid),
+        supplierRects.load(s, dir), grid)),
     // J10 predicate variants: within / contains / overlaps
     "spatial_within_join" -> ((s, dir) =>
       SpatialJoins.gridJoinPred(partRects.load(s, dir), ordersRects.load(s, dir), grid,
@@ -216,6 +226,17 @@ object SparkEntry {
          | FROM (${partRects.sqlSelect})""".stripMargin.replace("\n", ""),
     "spatial_cell_stats" -> cellStatsOracle,
     "spatial_tile_assignments" -> tileAssignOracle,
+    "raster_coverage" -> coverageSql(partRects),
+    "raster_vectorize" ->
+      (s"SELECT cell AS id, cx * ${grid.cellW} AS xmin, (cx + 1) * ${grid.cellW} AS xmax, " +
+        s"cy * ${grid.cellH} AS ymin, (cy + 1) * ${grid.cellH} AS ymax " +
+        s"FROM (${coverageSql(partRects)}) WHERE value >= 2"),
+    "raster_zonal_stats" ->
+      (s"SELECT z.id AS zone_id, count(*) AS n_pixels, CAST(sum(r.value) AS BIGINT) AS total " +
+        s"FROM (${coverageSql(customerPoints)}) r JOIN (${supplierRects.sqlSelect}) z " +
+        s"ON (r.cx + 0.5) * ${grid.cellW} >= z.xmin AND (r.cx + 0.5) * ${grid.cellW} <= z.xmax " +
+        s"AND (r.cy + 0.5) * ${grid.cellH} >= z.ymin AND (r.cy + 0.5) * ${grid.cellH} <= z.ymax " +
+        s"GROUP BY 1"),
     "spatial_distance_join" -> {
       val dx = "greatest(b.xmin - a.xmax, a.xmin - b.xmax, 0)"
       val dy = "greatest(b.ymin - a.ymax, a.ymin - b.ymax, 0)"
@@ -275,7 +296,10 @@ object SparkEntry {
         s"CAST(CAST(round(ymax, 2) AS REAL) AS DOUBLE) AS ymax FROM (${customerPoints.sqlSelect})"),
   )
 
-  private def tileAssignOracle: String = {
+  /** DuckDB SQL for the id → cell replication set of a derived input
+    * (mirrors `SpatialJoins.withCells`).
+    */
+  private def cellRepSql(spec: graft.api.RectSpec): String = {
     val w = grid.cellW; val h = grid.cellH; val n = grid.nx
     def cc(v: String, lo: Double, len: Double, nn: Int): String =
       s"least(greatest(CAST(floor(($v - $lo) / $len) AS BIGINT), 0), ${nn - 1})"
@@ -283,10 +307,16 @@ object SparkEntry {
        | SELECT id, unnest(range(${cc("xmin", 0.0, w, n)}, ${cc("xmax", 0.0, w, n)} + 1)) AS cx, cy
        | FROM (
        |   SELECT id, xmin, xmax, unnest(range(${cc("ymin", 0.0, h, n)}, ${cc("ymax", 0.0, h, n)} + 1)) AS cy
-       |   FROM (${partRects.sqlSelect})
+       |   FROM (${spec.sqlSelect})
        | )
        |)""".stripMargin.replace("\n", "")
   }
+
+  private def tileAssignOracle: String = cellRepSql(partRects)
+
+  private def coverageSql(spec: graft.api.RectSpec): String =
+    s"SELECT cell, cell % ${grid.nx} AS cx, cell // ${grid.nx} AS cy, " +
+      s"count(*) AS value FROM (${cellRepSql(spec)}) GROUP BY 1, 2, 3"
 
   /** Cell replication as SQL: cross join with the two cell-range sequences.
     * Must mirror `SpatialJoins.withCells` (clamped floor arithmetic).
