@@ -129,6 +129,19 @@ object SparkEntry {
           partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
           grid, "a")
         .select(col("a_id").as("id"), col("cell"))),
+    // composed training-data pipeline: quality filter -> exact dedup -> lang
+    // filter, returning surviving doc ids (the canonical corpus-clean chain)
+    "corpus_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextOps.qualityMetrics(d.select("doc_id", "text", "lang"), col("text"))
+        .filter(col("quality_ok") && col("lang").isin("en", "de", "es", "fr"))
+      Dedup.exactDedup(quality)
+    }),
+    // kNN over rectangles (MBR min-distance), k=2
+    "spatial_knn_rect_join" -> ((s, dir) =>
+      SpatialJoins.knnJoin(supplierRects.load(s, dir), partRects.load(s, dir),
+          mapExtent, 2, s.read.parquet(s"$dir/part.parquet").count())
+        .select(col("a_id"), col("b_id"), col("rank"))),
     // raster <-> vector: coverage rasterization, vectorization, zonal stats
     "raster_coverage" -> ((s, dir) =>
       graft.ops.Raster.rasterize(partRects.load(s, dir), grid)),
@@ -227,6 +240,17 @@ object SparkEntry {
     "spatial_cell_stats" -> cellStatsOracle,
     "spatial_tile_assignments" -> tileAssignOracle,
     "raster_coverage" -> coverageSql(partRects),
+    "corpus_clean" ->
+      (s"SELECT min(doc_id) AS doc_id FROM documents " +
+        s"WHERE ${TextOps.qualityOkSql} AND lang IN ('en','de','es','fr') " +
+        s"GROUP BY md5(text)"),
+    "spatial_knn_rect_join" -> {
+      val dx = "greatest(b.xmin - a.xmax, a.xmin - b.xmax, 0)"
+      val dy = "greatest(b.ymin - a.ymax, a.ymin - b.ymax, 0)"
+      s"SELECT a_id, b_id, rank FROM (SELECT a.id AS a_id, b.id AS b_id, " +
+        s"row_number() OVER (PARTITION BY a.id ORDER BY sqrt($dx * $dx + $dy * $dy), b.id) AS rank " +
+        s"FROM (${supplierRects.sqlSelect}) a CROSS JOIN (${partRects.sqlSelect}) b) WHERE rank <= 2"
+    },
     "raster_vectorize" ->
       (s"SELECT cell AS id, cx * ${grid.cellW} AS xmin, (cx + 1) * ${grid.cellW} AS xmax, " +
         s"cy * ${grid.cellH} AS ymin, (cy + 1) * ${grid.cellH} AS ymax " +

@@ -51,6 +51,17 @@ object TextOps {
        | FROM $from""".stripMargin.replace("\n", "")
   }
 
+  /** The `quality_ok` predicate as standalone DuckDB SQL over a `text`
+    * column (mirrors [[qualityMetrics]]).
+    */
+  val qualityOkSql: String = {
+    val len    = "CAST(length(text) AS BIGINT)"
+    val alpha  = s"($len - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
+    val spaces = s"($len - length(regexp_replace(text, ' ', '', 'g')))"
+    s"($tokenCountSql >= 10 AND floor(($len - $spaces) * 100 / greatest($tokenCountSql, 1)) BETWEEN 150 AND 1500" +
+      s" AND floor($alpha * 10000 / greatest($len, 1)) >= 5000)"
+  }
+
   /** Language-ID by stopword evidence: count hits of per-language marker
     * regexes, pick the argmax (ties → lexicographically first language).
     * An n-gram heuristic classifier — deliberately expressible in both Spark
