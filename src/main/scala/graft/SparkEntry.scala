@@ -66,7 +66,7 @@ object SparkEntry {
     "spatial_knn_join" -> ((s, dir) =>
       SpatialJoins.knnJoin(customerPoints.load(s, dir), orderPoints.load(s, dir),
           mapExtent, 3, s.read.parquet(s"$dir/orders.parquet").count())
-        .select(col("a_id"), col("b_id"), col("rank"))),
+        .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rank"))),
     // P6: self-join with id filter
     "spatial_self_join" -> ((s, dir) => {
       val p = partRects.load(s, dir)
@@ -141,7 +141,7 @@ object SparkEntry {
     "spatial_knn_rect_join" -> ((s, dir) =>
       SpatialJoins.knnJoin(supplierRects.load(s, dir), partRects.load(s, dir),
           mapExtent, 2, s.read.parquet(s"$dir/part.parquet").count())
-        .select(col("a_id"), col("b_id"), col("rank"))),
+        .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rank"))),
     // raster <-> vector: coverage rasterization, vectorization, zonal stats
     "raster_coverage" -> ((s, dir) =>
       graft.ops.Raster.rasterize(partRects.load(s, dir), grid)),

@@ -36,7 +36,7 @@ object Similarity {
       .select(col("q_id"), col("c_id"), qdot(col("q_emb"), col("c_emb")).as("dot"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("dot"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
   }
 
   /** DuckDB oracle for [[bruteForceTopK]] over the `embeddings` table with
@@ -50,7 +50,8 @@ object Similarity {
        |  SELECT e.vec_id, i, CAST(round(e.embedding[i] * 1000) AS BIGINT) AS x
        |  FROM embeddings e, range(1, ${dim + 1}) r(i)
        |), dots AS (
-       |  SELECT qv.vec_id AS q_id, cv.vec_id AS c_id, sum(qv.x * cv.x) AS dot
+       |  SELECT qv.vec_id AS q_id, cv.vec_id AS c_id,
+       |         CAST(sum(qv.x * cv.x) AS BIGINT) AS dot
        |  FROM qv JOIN cv USING (i) GROUP BY 1, 2
        |)
        |SELECT q_id, c_id, dot, rank FROM (
@@ -99,7 +100,7 @@ object Similarity {
       qdot(col("q_id_emb"), col("c_id_emb")).as("dot"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("dot"), col("rank"))
+      .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs: normalized quantized dot ≥

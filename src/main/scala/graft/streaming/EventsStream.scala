@@ -31,7 +31,7 @@ object EventsStream {
 
   val windowedCountsSql: String =
     """SELECT (epoch_us(ts) // 300000000) * 300 AS window_s, event_type,
-      | count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+      | count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")
 
   /** Per-user sessionization with a custom state machine

@@ -140,18 +140,18 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("bruteForceTopK matches local computation") {
     val got = Similarity.bruteForceTopK(df.filter($"vec_id" < 5), df, 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val want = (for ((qi, qv) <- vecs if qi < 5) yield {
       vecs.map { case (ci, cv) => (ci, qdotLocal(qv, cv)) }
         .sortBy(t => (-t._2, t._1)).take(3).zipWithIndex
-        .map { case ((ci, d), r) => (qi, ci, d, r + 1) }
+        .map { case ((ci, d), r) => (qi, ci, d, (r + 1).toLong) }
     }).flatten.toSet
     assert(got == want)
   }
 
   test("lshTopK finds identical vectors (same bucket) and ranks like brute force on candidates") {
     val got = Similarity.lshTopK(df.filter($"vec_id" === 100L), df, 3, dim)
-      .collect().map(r => (r.getLong(1), r.getInt(3))).toList.sortBy(_._2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toList.sortBy(_._2)
     // the identical vector 101 (and 100 itself) must be in the top results
     assert(got.map(_._1).contains(101L))
     assert(got.map(_._1).contains(100L))
