@@ -76,11 +76,22 @@ object AdaptiveCells {
     * product ~s⁴ under uniformity), clamped by the median object size so a
     * subcell never drops below ~2 median extents (replication bound).
     */
+  /** `sampleFraction < 1` estimates per-cell counts from a Bernoulli sample
+    * (scaled back up) — at petabyte scale the planning pass must not read the
+    * full input. Splits are a performance heuristic only; exactly-once
+    * correctness never depends on the estimate (reference-point ownership is
+    * local arithmetic).
+    */
   def plan(a: Dataset[Geom], b: Dataset[Geom], base: CellScheme,
-           budgetPairs: Long = 4L * 1024 * 1024, maxSplit: Int = 32): AdaptiveScheme = {
+           budgetPairs: Long = 4L * 1024 * 1024, maxSplit: Int = 32,
+           sampleFraction: Double = 1.0): AdaptiveScheme = {
     import a.sparkSession.implicits._
-    def cellCounts(ds: Dataset[Geom]) =
-      ds.flatMap(g => base.cellsOf(g)).groupByKey(identity).count()
+    val scale = math.round(1.0 / sampleFraction)
+    def cellCounts(ds: Dataset[Geom]) = {
+      val in = if (sampleFraction >= 1.0) ds else ds.sample(sampleFraction, seed = 42L)
+      in.flatMap(g => base.cellsOf(g)).groupByKey(identity).count()
+        .map { case (c, n) => (c, n * scale) }
+    }
     val counts = cellCounts(a).toDF("cell", "na")
       .join(cellCounts(b).toDF("cell_b", "nb"), col("cell") === col("cell_b"))
       .select(col("cell"), col("na"), col("nb"))

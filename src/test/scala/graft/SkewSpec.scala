@@ -43,4 +43,22 @@ class SkewSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("sample-based split planning stays oracle-equal (correctness never depends on estimates)") {
+    val a = Workloads.gaussianPolygons(spark, 3000, seed = 5, mapEdge = 1000.0, meanEdge = 8.0)
+    val b = Workloads.gaussianPolygons(spark, 3000, seed = 6, mapEdge = 1000.0, meanEdge = 8.0)
+    val base = CellScheme(Extent(0, 1012, 0, 1012), 8, 8)
+    val scheme = AdaptiveCells.plan(a, b, base, budgetPairs = 10000, sampleFraction = 0.1)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def rep(ds: org.apache.spark.sql.Dataset[Geom]) =
+      ds.flatMap(g => scheme.keysOf(g).map(k => (k, g)))
+    val got = rep(a).toDF("k", "a").join(rep(b).toDF("k2", "b"), col("k") === col("k2"))
+      .as[(Long, Geom, Long, Geom)]
+      .flatMap { case (k, ga, _, gb) =>
+        if (ga.intersects(gb) && scheme.owns(k, ga, gb)) Some((ga.id, gb.id)) else None }
+      .collect().toSet
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(got == want)
+  }
 }
