@@ -154,13 +154,22 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughput,"scaling":$scaling}""")
 
     // ---- BENCH/BASELINE.md -------------------------------------------------
+    // golden Uniform PIP counts published in the reference (BASELINE.md)
+    val goldenPip = Map(100000L -> 97L, 1000000L -> 10132L, 10000000L -> 1021602L)
+    val goldenNote = goldenPip.get(benchN) match {
+      case Some(g) if g == resBig =>
+        s"Result count $resBig MATCHES the reference's golden count."
+      case Some(g) =>
+        s"WARNING: result count $resBig != reference golden $g."
+      case None =>
+        s"(no published golden count at n=$benchN; result count $resBig.)"
+    }
     val md =
       s"""# BENCH — measured on this machine (local mode)
          |
          |Headline: Uniform PIP ${benchN}×$benchN (reference workload shape,
          |seeds 789/123), grid PBSM join, join phase only (inputs cached),
-         |median of 3 runs after a warm-up run. Result count $resBig matches
-         |the reference's golden count exactly.
+         |median of 3 runs after a warm-up run. $goldenNote
          |
          || quantity | value |
          ||---|---|

@@ -22,15 +22,21 @@ object QuantizedDot {
   @inline def q(v: Double): Long =
     if (v < 0) -math.floor(-v + 0.5).toLong else math.floor(v + 0.5).toLong
 
-  /** Static entry point shared by eval and generated code. */
-  def dot(a: ArrayData, b: ArrayData, floats: Boolean): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Static entry point shared by eval and generated code. Element widths are
+    * resolved per side (mixed float/double pairs are fine); unequal lengths
+    * are rejected rather than silently truncated.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloats: Boolean, bFloats: Boolean): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vector length mismatch: $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
-    if (floats) {
-      while (i < n) { acc += q(a.getFloat(i) * 1000.0) * q(b.getFloat(i) * 1000.0); i += 1 }
-    } else {
-      while (i < n) { acc += q(a.getDouble(i) * 1000.0) * q(b.getDouble(i) * 1000.0); i += 1 }
+    while (i < n) {
+      val x = if (aFloats) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloats) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += q(x * 1000.0) * q(y * 1000.0)
+      i += 1
     }
     acc
   }
@@ -43,17 +49,18 @@ case class QuantizedDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
 
-  private def isFloatArray: Boolean = left.dataType match {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
     case _ => false
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    QuantizedDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloatArray)
+    QuantizedDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.QuantizedDot.dot($a, $b, $isFloatArray)")
+      s"graft.functions.QuantizedDot.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDotExpr =
     copy(left = l, right = r)

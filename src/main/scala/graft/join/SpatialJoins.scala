@@ -295,19 +295,24 @@ object SpatialJoins {
     * by r for the grid candidate phase, then exact distance filter.
     */
   def distanceJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme, r: Double): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
-    val aExp = a.map(g => Geom(g.id, g.xmin - r, g.xmax + r, g.ymin - r, g.ymax + r))
-    val ac = withCells(prefixed(aExp, "a"), s, "a")
+    // expand the a-side MBR only for the candidate phase; the ORIGINAL
+    // coordinates ride along untouched for the exact distance check —
+    // restoring them arithmetically ((x - r) + r) would perturb them by ulps
+    // and flip boundary dist == r decisions vs the oracle
+    val ac0 = prefixed(a, "a")
+      .withColumn("a_oxmin", col("a_xmin")).withColumn("a_oxmax", col("a_xmax"))
+      .withColumn("a_oymin", col("a_ymin")).withColumn("a_oymax", col("a_ymax"))
+      .withColumn("a_xmin", col("a_xmin") - lit(r)).withColumn("a_xmax", col("a_xmax") + lit(r))
+      .withColumn("a_ymin", col("a_ymin") - lit(r)).withColumn("a_ymax", col("a_ymax") + lit(r))
+    val ac = withCells(ac0, s, "a")
     val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
     // candidate = expanded-MBR intersect; dedup by ownership on the expanded pair
     ac.join(bc, col("cell") === col("b_cell") && intersectPred && {
         cellOfCol(s, greatest(col("a_xmin"), col("b_xmin")),
                      greatest(col("a_ymin"), col("b_ymin"))) === col("cell")
       })
-      // restore the true a MBR for the exact distance check
-      .withColumn("a_xmin", col("a_xmin") + lit(r)).withColumn("a_xmax", col("a_xmax") - lit(r))
-      .withColumn("a_ymin", col("a_ymin") + lit(r)).withColumn("a_ymax", col("a_ymax") - lit(r))
+      .withColumn("a_xmin", col("a_oxmin")).withColumn("a_xmax", col("a_oxmax"))
+      .withColumn("a_ymin", col("a_oymin")).withColumn("a_ymax", col("a_oymax"))
       .withColumn("dist", minDistCol)
       .filter(col("dist") <= lit(r))
       .select(col("a_id"), col("b_id"), col("dist"))
@@ -328,7 +333,10 @@ object SpatialJoins {
     val area = math.max(extent.width * extent.height, 1e-12)
     var r = math.max(1e-9, 2.0 * math.sqrt(k * area / (math.Pi * math.max(bCount, 1L))))
     val diag = math.sqrt(extent.width * extent.width + extent.height * extent.height)
-    var remaining = a
+    // localCheckpoint truncates lineage each round — otherwise iteration i
+    // re-evaluates every previous round's distance join through the growing
+    // anti-join chain (quadratic recompute)
+    var remaining = a.localCheckpoint()
     var acc: DataFrame = null
     var iter = 0
     while (iter < 48 && !remaining.isEmpty) {
@@ -343,11 +351,12 @@ object SpatialJoins {
         else cand.groupBy("a_id").count().filter(col("count") >= k).select("a_id")
       val resolved = ranked.join(resolvedIds, "a_id")
         .select(col("a_id"), col("b_id"), col("dist"), col("rank"))
-      acc = if (acc == null) resolved else acc.unionByName(resolved)
+      acc = if (acc == null) resolved.localCheckpoint()
+            else acc.unionByName(resolved).localCheckpoint()
       import spark.implicits._
       remaining = if (last) spark.emptyDataset[Geom]
                   else remaining.join(resolvedIds, remaining("id") === resolvedIds("a_id"), "left_anti")
-                    .as[Geom]
+                    .as[Geom].localCheckpoint()
       r *= 2; iter += 1
     }
     if (acc == null) prefixed(a, "a").limit(0)

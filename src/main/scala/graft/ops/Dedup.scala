@@ -145,13 +145,16 @@ object Dedup {
       struct(lit(bi).as("band"),
         xxhash64((bi * rowsPerBand until (bi + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("bucket"))
     }
-    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    // pair generation via bucket self-join: a hot bucket shuffle-partitions
+    // instead of materializing all its ids in one collect_list row (which
+    // would OOM a single task on a near-dup-heavy corpus)
+    val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+    bucketed.toDF("a_id", "band", "bucket")
+      .join(bucketed.toDF("b_id", "band_b", "bucket_b"),
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
   }
 

@@ -107,11 +107,11 @@ object TextOps {
     * the set's xor-fold as a single long.
     */
   def winnowFingerprint(text: String, k: Int = 8, window: Int = 16): Long = {
-    val s = text.toLowerCase
-    if (s.length < k) return graft.functions.SimHash.fnv1a(s.getBytes("UTF-8"), 0, s.getBytes("UTF-8").length)
-    val hashes = new Array[Long](s.length - k + 1)
+    val bytes = text.toLowerCase.getBytes("UTF-8")
+    if (bytes.length < k) return graft.functions.SimHash.fnv1a(bytes, 0, bytes.length)
+    // size by BYTE length — multibyte UTF-8 makes bytes.length > char count
+    val hashes = new Array[Long](bytes.length - k + 1)
     var i = 0
-    val bytes = s.getBytes("UTF-8")
     while (i + k <= bytes.length) {
       hashes(i) = graft.functions.SimHash.fnv1a(bytes, i, i + k)
       i += 1

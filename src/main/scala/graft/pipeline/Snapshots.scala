@@ -23,10 +23,13 @@ final class Snapshots(spark: SparkSession, root: String) {
   def committed(stage: String): Seq[Long] = {
     val d = stageDir(stage)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
-      .filter(p => Files.exists(p.resolve("_manifest.json")))
-      .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
-      .toSeq.sorted
+    val stream = Files.list(d)
+    try {
+      stream.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_manifest.json")))
+        .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+        .toSeq.sorted
+    } finally stream.close()
   }
 
   def latest(stage: String): Option[Long] = committed(stage).lastOption

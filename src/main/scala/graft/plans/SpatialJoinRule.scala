@@ -82,8 +82,13 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           if (!firstLeft && !firstRight) j
           else {
             val (la, ra) = if (firstLeft) (args.take(4), args.drop(4)) else (args.drop(4), args.take(4))
-            val Seq(ax0, ax1, ay0, ay1) = la
-            val Seq(bx0, bx1, by0, by1) = ra
+            // post-analysis: no implicit casts are inserted for us — coerce
+            // non-double coordinate expressions (FLOAT/DECIMAL columns) here
+            def dbl(e: Expression): Expression =
+              if (e.dataType == org.apache.spark.sql.types.DoubleType) e
+              else Cast(e, org.apache.spark.sql.types.DoubleType)
+            val Seq(ax0, ax1, ay0, ay1) = la.map(dbl)
+            val Seq(bx0, bx1, by0, by1) = ra.map(dbl)
             val s = scheme
             val (lp, lcell) = withCells(s, left, ax0, ax1, ay0, ay1)
             val (rp, rcell) = withCells(s, right, bx0, bx1, by0, by1)

@@ -98,17 +98,20 @@ object AdaptiveCells {
       .filter(col("na") * col("nb") > budgetPairs)
       .collect()
     if (counts.isEmpty) return AdaptiveScheme(base, Map.empty)
-    // median object extent (sampled) bounds the split factor
-    val med = a.limit(100000).select(
+    // median object extent (sampled from both sides) bounds the split factor
+    val med = a.limit(50000).unionByName(b.limit(50000)).select(
       expr("percentile(xmax - xmin, 0.5)"), expr("percentile(ymax - ymin, 0.5)")).head()
-    val medW = math.max(med.getDouble(0), 1e-12); val medH = math.max(med.getDouble(1), 1e-12)
+    val medW = if (med.isNullAt(0)) 1e-12 else math.max(med.getDouble(0), 1e-12)
+    val medH = if (med.isNullAt(1)) 1e-12 else math.max(med.getDouble(1), 1e-12)
     val sCapW = math.max(1, (base.cellW / (2 * medW)).toInt)
     val sCapH = math.max(1, (base.cellH / (2 * medH)).toInt)
     val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
+    // sCap < 2 means cells are already ~2 median object extents: splitting
+    // would only multiply replication, so no splits at all in that regime
     val splits = counts.map { r =>
       val prod = r.getLong(1).toDouble * r.getLong(2).toDouble
       val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1
-      r.getLong(0) -> math.max(2, math.min(s, sCap))
+      r.getLong(0) -> math.min(s, sCap)
     }.filter(_._2 >= 2).toMap
     AdaptiveScheme(base, splits)
   }

@@ -44,7 +44,6 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val gapUs = gapMinutes * 60L * 1000000L
     val typed = events.select(col("user_id"), col("ts").cast("timestamp").cast("long").as("ts_s"))
       .as[(Long, Long)]
     typed.groupByKey(_._1).flatMapGroupsWithState[(Long, Long, Long), Session](

@@ -198,6 +198,14 @@ class TextOpsSpec extends AnyFunSuite {
     val c = TextOps.winnowFingerprint("a completely different document body here")
     assert(a == b); assert(a != c)
   }
+
+  test("winnow fingerprint handles multibyte UTF-8 (regression: byte-len sizing)") {
+    val a = TextOps.winnowFingerprint("héllo wörld of thíngs and ümlauts everywhere")
+    val b = TextOps.winnowFingerprint("héllo wörld of thíngs and ümlauts everywhere")
+    assert(a == b)
+    assert(TextOps.winnowFingerprint("日本語のテキスト — short") ==
+           TextOps.winnowFingerprint("日本語のテキスト — short"))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -143,6 +143,15 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("distanceJoin boundary dist == r is kept (regression: coord restore perturbation)") {
+    import TestSpark.spark.implicits._
+    val a = spark.createDataset(Seq(Geom.point(1, 0.1, 50.0)))
+    val b = spark.createDataset(Seq(Geom.point(2, 5.1, 50.0)))
+    val r = 5.1 - 0.1 // the exact double distance between the two points
+    val s = CellScheme(Extent(0, 100, 0, 100), 10, 10)
+    assert(pairs(distanceJoin(a, b, s, r).select("a_id", "b_id")) == Set((1L, 2L)))
+  }
+
   test("knnJoin is exact vs brute force") {
     import TestSpark.spark.implicits._
     val a = randomSet(7, 120, 0.0)   // points
