@@ -18,9 +18,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * is ~100× cheaper on the similarity hot paths).
   */
 object QuantizedDot {
-  /** round-half-away-from-zero, matching Spark's and DuckDB's `round`. */
-  @inline def q(v: Double): Long =
-    if (v < 0) -math.floor(-v + 0.5).toLong else math.floor(v + 0.5).toLong
+  /** round-half-away-from-zero, matching Spark's and DuckDB's `round`.
+    * `floor(v + 0.5)` alone is wrong for doubles just under a .5 boundary
+    * (e.g. 0.49999999999999994 + 0.5 rounds UP to 1.0 in binary); the
+    * correction branch restores decimal HALF_UP without BigDecimal cost.
+    */
+  @inline def q(v: Double): Long = {
+    val a = math.abs(v)
+    val fl = math.floor(a)
+    // a - fl is exact; rint is correctly rounded with no addition error
+    // (floor(a + 0.5) is wrong for doubles just under a .5 boundary)
+    val r = if (a - fl == 0.5) fl + 1.0 else math.rint(a)
+    if (v < 0) -r.toLong else r.toLong
+  }
 
   /** Static entry point shared by eval and generated code. Element widths are
     * resolved per side (mixed float/double pairs are fine); unequal lengths

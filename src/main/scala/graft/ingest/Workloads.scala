@@ -52,7 +52,9 @@ object Workloads {
   private def generate(spark: SparkSession, n: Long, seed: Long, mapEdge: Double,
                        objEdge: Double, point: Boolean, parts: Int): Dataset[Geom] = {
     import spark.implicits._
-    val p = math.max(1, math.min(parts, math.max(1L, n / 1024L).toInt))
+    // clamp in Long space first: n/1024 overflows Int for n > ~2.2e12 and
+    // would silently collapse generation to one partition
+    val p = math.min(parts.toLong, math.max(1L, n / 1024L)).toInt
     spark.range(0, p, 1, p).flatMap { t =>
       val lo = n * t / p
       val hi = n * (t + 1) / p
@@ -84,7 +86,7 @@ object Workloads {
                        mapEdge: Double = 10000.0, meanEdge: Double = 1.0,
                        clusters: Int = 8, parts: Int = 32): Dataset[Geom] = {
     import spark.implicits._
-    val p = math.max(1, math.min(parts, math.max(1L, n / 1024L).toInt))
+    val p = math.min(parts.toLong, math.max(1L, n / 1024L)).toInt
     spark.range(0, p, 1, p).flatMap { t =>
       val lo = n * t / p
       val hi = n * (t + 1) / p

@@ -307,10 +307,7 @@ object SpatialJoins {
     val ac = withCells(ac0, s, "a")
     val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
     // candidate = expanded-MBR intersect; dedup by ownership on the expanded pair
-    ac.join(bc, col("cell") === col("b_cell") && intersectPred && {
-        cellOfCol(s, greatest(col("a_xmin"), col("b_xmin")),
-                     greatest(col("a_ymin"), col("b_ymin"))) === col("cell")
-      })
+    ac.join(bc, col("cell") === col("b_cell") && intersectPred && ownsPred(s, col("cell")))
       .withColumn("a_xmin", col("a_oxmin")).withColumn("a_xmax", col("a_oxmax"))
       .withColumn("a_ymin", col("a_oymin")).withColumn("a_ymax", col("a_oymax"))
       .withColumn("dist", minDistCol)
@@ -333,6 +330,8 @@ object SpatialJoins {
     val area = math.max(extent.width * extent.height, 1e-12)
     var r = math.max(1e-9, 2.0 * math.sqrt(k * area / (math.Pi * math.max(bCount, 1L))))
     val diag = math.sqrt(extent.width * extent.width + extent.height * extent.height)
+    // the static b side is scanned in every ring-expansion round — persist it
+    val bCached = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint truncates lineage each round — otherwise iteration i
     // re-evaluates every previous round's distance join through the growing
     // anti-join chain (quadratic recompute)
@@ -343,7 +342,7 @@ object SpatialJoins {
       val last = r >= 2 * diag
       val s = CellScheme.forSize(extent, bCount, targetPerCell = 512L,
         maxN = math.max(1, math.min(4096, (extent.width / math.max(r, 1e-9)).toInt)))
-      val cand = distanceJoin(remaining, b, s, r)
+      val cand = distanceJoin(remaining, bCached, s, r)
       val w = Window.partitionBy(col("a_id")).orderBy(col("dist"), col("b_id"))
       val ranked = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       val resolvedIds =
@@ -359,6 +358,7 @@ object SpatialJoins {
                     .as[Geom].localCheckpoint()
       r *= 2; iter += 1
     }
+    bCached.unpersist()
     if (acc == null) prefixed(a, "a").limit(0)
       .select(col("a_id"), col("a_id").as("b_id"), lit(0.0).as("dist"), lit(1).as("rank"))
     else acc

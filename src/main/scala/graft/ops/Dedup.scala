@@ -94,7 +94,6 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, k: Int, num: Int, den: Int,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = num.toDouble / den
     val shArr = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
       .filter(size(col("shs")) > 0)
     val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
@@ -102,10 +101,14 @@ object Dedup {
     // global order = (df, sh); rank shingles per doc, keep the prefix
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    // prefix length = n - ceil(t*n) + 1, in INTEGER arithmetic: the float
+    // form floor((1-t)*n)+1 under-counts by one whenever t*n is an exact
+    // integer (e.g. t=4/5, n=5 -> 0.19999... * 5), losing qualifying pairs
     val prefix = sh.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
-      .join(shArr.select(col("id"), size(col("shs")).as("n")), "id")
-      .filter(col("pos") <= floor((lit(1.0) - t) * col("n")) + 1)
+      .join(shArr.select(col("id"), size(col("shs")).cast("long").as("n")), "id")
+      .filter(col("pos") <=
+        col("n") - floor((col("n") * num + den - 1) / den).cast("long") + 1)
       .select(col("id"), col("sh"))
     val cand = prefix.toDF("a_id", "sh")
       .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))

@@ -68,13 +68,26 @@ final class Snapshots(spark: SparkSession, root: String) {
     latest(stage).map(id =>
       spark.read.parquet(stageDir(stage).resolve(id.toString).resolve("data").toString))
 
-  /** Resume-or-compute: if the stage has a committed snapshot, read it;
-    * otherwise compute, commit, and return the committed data. This is the
-    * restart contract: a killed run recomputes only missing stages.
+  /** The manifest of the latest committed snapshot, raw JSON text. */
+  def latestManifest(stage: String): Option[String] =
+    latest(stage).map(id => Files.readString(
+      stageDir(stage).resolve(id.toString).resolve("_manifest.json")))
+
+  /** True iff the latest snapshot's recorded input lineage matches `inputs`. */
+  private def lineageMatches(stage: String, inputs: Map[String, Long]): Boolean =
+    latestManifest(stage).exists { m =>
+      inputs.forall { case (k, v) => m.contains(s""""$k": $v""") }
+    }
+
+  /** Resume-or-compute: reuse the latest committed snapshot only when its
+    * recorded input lineage matches the requested inputs; otherwise compute
+    * and commit a NEW snapshot version. This is the restart contract: a
+    * killed run recomputes only missing stages, and a run whose upstream
+    * snapshots changed never silently reuses stale data.
     */
   def getOrCompute(stage: String, inputs: Map[String, Long] = Map.empty)
                   (compute: => DataFrame): DataFrame =
-    read(stage).getOrElse {
+    (if (lineageMatches(stage, inputs)) read(stage) else None).getOrElse {
       commit(stage, compute, inputs)
       read(stage).get
     }

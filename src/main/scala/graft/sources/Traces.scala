@@ -42,11 +42,15 @@ object Traces {
   def writeTextTrace(ds: Dataset[Geom], path: String): Unit = {
     val rows = ds.collect().sortBy(_.id)
     val sb = new StringBuilder
+    // CPython '%.2f' rounds HALF_EVEN; Java's rounds HALF_UP — format via
+    // BigDecimal so adversarial tie values (x.xx5) match the reference bytes
+    def f2(v: Double): String =
+      new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
     sb.append(rows.length).append('\n')
     rows.foreach { g =>
       sb.append(g.id).append(' ')
-        .append(f"${g.xmin}%.2f ").append(f"${g.xmax}%.2f ")
-        .append(f"${g.ymin}%.2f ").append(f"${g.ymax}%.2f").append('\n')
+        .append(f2(g.xmin)).append(' ').append(f2(g.xmax)).append(' ')
+        .append(f2(g.ymin)).append(' ').append(f2(g.ymax)).append('\n')
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }

@@ -133,10 +133,21 @@ class SimilaritySpec extends AnyFunSuite {
   }
   private def df = vecs.toDF("vec_id", "embedding")
 
+  // mirror QuantizedDot.q exactly (round half AWAY from zero, not
+  // math.round's half-toward-+inf) so the oracle can't mask a regression
   private def qdotLocal(a: Array[Float], b: Array[Float]): Long =
     (a zip b).map { case (x, y) =>
-      math.round(x.toDouble * 1000) * math.round(y.toDouble * 1000)
+      graft.functions.QuantizedDot.q(x.toDouble * 1000) *
+        graft.functions.QuantizedDot.q(y.toDouble * 1000)
     }.sum
+
+  test("QuantizedDot.q: decimal HALF_UP away from zero, boundary-safe") {
+    import graft.functions.QuantizedDot.q
+    assert(q(0.49999999999999994) == 0L) // floor(v+0.5) alone would give 1
+    assert(q(0.5) == 1L && q(-0.5) == -1L)
+    assert(q(2.5) == 3L && q(-2.5) == -3L)
+    assert(q(12.4999) == 12L && q(-12.4999) == -12L)
+  }
 
   test("bruteForceTopK matches local computation") {
     val got = Similarity.bruteForceTopK(df.filter($"vec_id" < 5), df, 3)
@@ -255,6 +266,14 @@ class PipelineSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(root, "stage1", "2", "_manifest.json"))
     assert(manifest.contains("\"stage0\": 1"))
+    // stale-lineage guard: requesting different inputs must recompute,
+    // not silently reuse the stale snapshot
+    val before = snaps.latest("stage1").get
+    val fresh = snaps.getOrCompute("stage1", Map("stage0" -> 2L))(spark.range(7).toDF("id"))
+    assert(fresh.count() == 7 && snaps.latest("stage1").contains(before + 1))
+    // matching lineage reuses without recompute
+    val again = snaps.getOrCompute("stage1", Map("stage0" -> 2L))(spark.range(99).toDF("id"))
+    assert(again.count() == 7 && snaps.latest("stage1").contains(before + 1))
   }
 }
 
