@@ -65,27 +65,53 @@ object SparkEntry {
     // J10 `nearestd` generalized: exact kNN (k=3), ring expansion
     "spatial_knn_join" -> ((s, dir) =>
       SpatialJoins.knnJoin(customerPoints.load(s, dir), orderPoints.load(s, dir),
-          mapExtent, 3, s.read.parquet(s"$dir/orders.parquet").count())
+          mapExtent, 3)
         .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rank"))),
     // P6: self-join with id filter
     "spatial_self_join" -> ((s, dir) => {
       val p = partRects.load(s, dir)
       SpatialJoins.gridJoin(p, p, grid).filter(col("a_id") =!= col("b_id"))
     }),
-    // golden-workload join (reference generator, no SQL oracle — the count
-    // itself is the reference's published 378; asserted in GoldenSpec)
-    "spatial_golden_uniform_pp" -> ((s, _) =>
+    // golden-workload join (reference generator; published count 378, also
+    // asserted in GoldenSpec). The generated workloads are dumped to parquet
+    // so the DuckDB oracle re-proves the golden count from the same bytes.
+    "spatial_golden_uniform_pp" -> ((s, _) => {
+      import s.implicits._
+      graft.ingest.Workloads.uniformPolygons(s, 100000, 123)
+        .write.mode("overwrite").parquet(s"$GoldenDumpDir/a")
+      graft.ingest.Workloads.uniformPolygons(s, 100000, 456)
+        .write.mode("overwrite").parquet(s"$GoldenDumpDir/b")
       SpatialJoins.gridJoin(
-        graft.ingest.Workloads.uniformPolygons(s, 100000, 123),
-        graft.ingest.Workloads.uniformPolygons(s, 100000, 456),
-        CellScheme(Extent(0, 10001, 0, 10001), 128, 128))),
+        s.read.parquet(s"$GoldenDumpDir/a").as[graft.geom.Geom],
+        s.read.parquet(s"$GoldenDumpDir/b").as[graft.geom.Geom],
+        CellScheme(Extent(0, 10001, 0, 10001), 128, 128))
+    }),
+    // J6 + adaptive hot-cell refinement on a skewed (hot-corner) derived
+    // input — the reference's quadtree-budget skew mechanism, driver-checked
+    "spatial_adaptive_join" -> ((s, dir) =>
+      SpatialJoins.gridJoinAdaptive(partRectsSkew.load(s, dir),
+        ordersRectsSkew.load(s, dir), CellScheme(mapExtent, 8, 8),
+        budgetPairs = 2048L)),
+    // J5 with cost-based stripe-direction choice (reference
+    // `best_join_direction`)
+    "spatial_stripes_auto" -> ((s, dir) =>
+      SpatialJoins.stripesJoinAuto(supplierRects.load(s, dir), partRects.load(s, dir),
+        mapExtent, 256)),
 
     // ---- training-data pipeline operators --------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
     "dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 3, 1, 2)),
+    // AllPairs/PPJoin prefix-filtered variant — identical output, candidate
+    // set cut to rare-prefix collisions (the web-scale Jaccard plan)
+    "dedup_jaccard_prefix" -> ((s, dir) => Dedup.jaccardPairsPrefix(docs(s, dir), 3, 1, 2)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashDedupPairs(docs(s, dir), 3, 64, 16, 1, 2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(withNearDups(docs(s, dir)), maxHam = 3)),
+      Dedup.simhashPairs(withNearDups(docs(s, dir)), maxHam = 3, oracleHash = true)),
+    // transitive survivors: min-id connected components over jaccard pairs
+    "dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d, Dedup.jaccardPairs(d, 3, 1, 2))
+    }),
     "embed_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, 5)
@@ -94,7 +120,11 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e, 5, 64)
     }),
-    "embed_neardup" -> ((s, dir) => Similarity.cosineNearDupPairs(embs(s, dir), 400)),
+    // LSH-banded candidates + exact integer-cosine verify over planted
+    // near-dups (threshold 0.95 — the near-dup regime where banding has
+    // ~1-recall; the exact all-pairs form is the oracle + sbt cross-check)
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Similarity.withPlantedDups(embs(s, dir)), 950, 64)),
     "text_quality" -> ((s, dir) =>
       TextOps.qualityMetrics(docs(s, dir).select("doc_id", "text"), col("text")).drop("text")),
     "text_lang_id" -> ((s, dir) =>
@@ -104,7 +134,7 @@ object SparkEntry {
     "text_signatures" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select(col("doc_id"),
-          graft.functions.SimHash.simhash64(col("text")).as("simhash"), col("text"))
+          graft.functions.SimHash.simhash60(col("text")).as("simhash"), col("text"))
         .as[(Long, Long, String)]
         .map { case (id, sh, t) => (id, sh, TextOps.winnowFingerprint(t)) }
         .toDF("doc_id", "simhash", "winnow_fp")
@@ -140,7 +170,7 @@ object SparkEntry {
     // kNN over rectangles (MBR min-distance), k=2
     "spatial_knn_rect_join" -> ((s, dir) =>
       SpatialJoins.knnJoin(supplierRects.load(s, dir), partRects.load(s, dir),
-          mapExtent, 2, s.read.parquet(s"$dir/part.parquet").count())
+          mapExtent, 2)
         .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rank"))),
     // raster <-> vector: coverage rasterization, vectorization, zonal stats
     "raster_coverage" -> ((s, dir) =>
@@ -205,6 +235,10 @@ object SparkEntry {
     }),
   )
 
+  /** Where the golden workload is dumped so DuckDB can re-prove the count. */
+  val GoldenDumpDir: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_golden_pp"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -220,6 +254,11 @@ object SparkEntry {
         concat(col("text"), lit(" zz")).as("text"))
     d.select(col("doc_id"), col("text")).unionByName(mutated)
   }
+
+  /** DuckDB subquery mirroring [[withNearDups]]. */
+  private val withNearDupsSql: String =
+    "(SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 10000000, text || ' zz' FROM documents WHERE doc_id % 7 = 0)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -277,8 +316,26 @@ object SparkEntry {
         s"JOIN (${partRects.sqlSelect}) b ON $intersectSql AND a.id <> b.id"),
     "dedup_exact"   -> Dedup.exactDedupSql,
     "dedup_jaccard" -> Dedup.jaccardPairsSql(3, 1, 2),
+    "dedup_jaccard_prefix" -> Dedup.jaccardPairsSql(3, 1, 2),
+    "dedup_minhash" -> Dedup.minhashDedupSql(3, 64, 16, 1, 2),
+    "dedup_simhash_pairs" -> Dedup.simhashPairsSql(3, withNearDupsSql),
+    "dedup_survivors" -> Dedup.connectedComponentsSql(Dedup.jaccardPairsSql(3, 1, 2)),
     "embed_topk"    -> Similarity.bruteForceTopKSql(20, 5, 64),
-    "embed_neardup" -> Similarity.cosineNearDupSql(400, 64),
+    "embed_lsh_topk" -> Similarity.lshTopKSql(20, 5, 64),
+    "embed_neardup" -> Similarity.cosineNearDupSql(950, 64),
+    "spatial_golden_uniform_pp" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM read_parquet('$GoldenDumpDir/a/*.parquet') a " +
+        s"JOIN read_parquet('$GoldenDumpDir/b/*.parquet') b ON $intersectSql"),
+    "spatial_adaptive_join" -> joinOracle(partRectsSkew, ordersRectsSkew),
+    "spatial_stripes_auto"  -> joinOracle(supplierRects, partRects),
+    "text_signatures" ->
+      (s"WITH ${graft.functions.SimHash.simhash60Sql("documents")}, ${TextOps.winnowSql("documents")} " +
+        "SELECT s.doc_id, s.f AS simhash, w.winnow_fp FROM shfp s JOIN wfp w ON w.doc_id = s.doc_id"),
+    "media_features" -> {
+      val payload = "'<html><body>' || text || '</body></html>'"
+      s"SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        s"CAST(octet_length(encode($payload)) AS BIGINT) AS n_bytes, md5($payload) AS checksum FROM documents"
+    },
     "text_quality"  -> TextOps.qualityMetricsSql("documents"),
     "text_lang_id"  -> s"SELECT doc_id, ${TextOps.langIdSql} AS lang_guess FROM documents",
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",

@@ -81,4 +81,9 @@ object CellScheme {
     * (`cpp/1d_stripes.hpp:126-204`).
     */
   def stripesX(extent: Extent, n: Int): CellScheme = CellScheme(extent, n, 1)
+
+  /** 1-D stripes along y (the transposed join direction — the reference
+    * tries both and records `best_join_direction`).
+    */
+  def stripesY(extent: Extent, n: Int): CellScheme = CellScheme(extent, 1, n)
 }

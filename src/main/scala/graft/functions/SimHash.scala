@@ -26,16 +26,24 @@ object SimHash {
     h
   }
 
-  /** Static entry point used by both eval and generated code. */
-  def hash64(s: UTF8String): Long = {
+  /** Static entry point used by both eval and generated code. `md5Tokens`
+    * switches the per-token hash from FNV-1a 64 (production: fastest) to the
+    * cross-engine 60-bit md5 prefix ([[OracleHash.hash60]]) so the DuckDB
+    * oracle can replay the whole fingerprint; the SimHash construction
+    * (Charikar 2002) is identical either way.
+    */
+  def hash64(s: UTF8String, md5Tokens: Boolean): Long = {
     val bytes = s.getBytes
-    val counts = new Array[Int](64)
+    val nBits = if (md5Tokens) 60 else 64
+    val counts = new Array[Int](nBits)
     var i = 0
     var tokStart = -1
     def flush(end: Int): Unit = if (tokStart >= 0) {
-      val h = fnv1a(bytes, tokStart, end)
+      val h =
+        if (md5Tokens) OracleHash.hash60(java.util.Arrays.copyOfRange(bytes, tokStart, end))
+        else fnv1a(bytes, tokStart, end)
       var b = 0
-      while (b < 64) {
+      while (b < nBits) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -50,11 +58,40 @@ object SimHash {
     flush(bytes.length)
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < nBits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
+  def hash64(s: UTF8String): Long = hash64(s, md5Tokens = false)
+
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+
+  /** Oracle-replayable variant: 60-bit fingerprint over hash60 tokens. */
+  def simhash60(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c), md5Tokens = true))
+
+  /** DuckDB SQL replaying [[simhash60]] over table `from(doc_id, text)`:
+    * emits CTEs ending in `shfp(doc_id, f)` (docs with zero tokens get f=0,
+    * matching the JVM loop).
+    */
+  def simhash60Sql(from: String): String = {
+    val h = OracleHash.hash60Sql("tok")
+    s"""stoks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM $from
+       |), sth AS (
+       |  SELECT doc_id, $h AS hh FROM stoks WHERE tok <> ''
+       |), sbits AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM sth, range(0, 60) r(b) GROUP BY 1, 2
+       |), shfp AS (
+       |  SELECT d.doc_id,
+       |         coalesce((SELECT CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+       |                   FROM sbits WHERE sbits.doc_id = d.doc_id), 0) AS f
+       |  FROM (SELECT DISTINCT doc_id FROM $from) d
+       |)""".stripMargin.replace("\n", " ")
+  }
 
   def hammingDist(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.bit_count
@@ -62,11 +99,13 @@ object SimHash {
   }
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, md5Tokens: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    SimHash.hash64(v.asInstanceOf[UTF8String])
+    SimHash.hash64(v.asInstanceOf[UTF8String], md5Tokens)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.hash64($c)")
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.hash64($c, $md5Tokens)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
 }

@@ -234,6 +234,33 @@ object SpatialJoins {
   def stripesJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame =
     gridJoin(a, b, CellScheme.stripesX(extent, n))
 
+  /** Stripe-direction choice (the reference records `best_join_direction` per
+    * workload and picks the better of partition-dim0 vs the transpose,
+    * `cpp/1d_multithread.cpp:168-174`): pick the axis with the smaller
+    * expected replication factor, `1 + avg(edge) / stripeWidth`, estimated
+    * from a sampled aggregate over both inputs. Cost: one tiny agg job;
+    * returns the direction so callers/benchmarks can log it.
+    */
+  def chooseStripeAxis(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int,
+                       sampleFraction: Double = 0.1): Char = {
+    val u = a.unionByName(b)
+    val s = (if (sampleFraction < 1.0) u.sample(sampleFraction, 42L) else u)
+      .agg(avg(col("xmax") - col("xmin")), avg(col("ymax") - col("ymin"))).head()
+    val avgW = if (s.isNullAt(0)) 0.0 else s.getDouble(0)
+    val avgH = if (s.isNullAt(1)) 0.0 else s.getDouble(1)
+    val repX = avgW / math.max(extent.width / n, 1e-12)
+    val repY = avgH / math.max(extent.height / n, 1e-12)
+    if (repX <= repY) 'x' else 'y'
+  }
+
+  /** [[stripesJoin]] with the axis chosen by [[chooseStripeAxis]]. */
+  def stripesJoinAuto(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame = {
+    val scheme =
+      if (chooseStripeAxis(a, b, extent, n) == 'x') CellScheme.stripesX(extent, n)
+      else CellScheme.stripesY(extent, n)
+    gridJoin(a, b, scheme)
+  }
+
   /** [[gridJoin]] restricted by an additional predicate variant (within /
     * contains / overlaps). The candidate phase and dedup are those of the
     * intersect join; the variant is a refinement filter.
@@ -324,14 +351,17 @@ object SpatialJoins {
     * (dist, b_id). Driver iterations: O(log(extent/r0)).
     */
   def knnJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, k: Int,
-              bCount: Long): DataFrame = {
+              bCountHint: Long = -1L): DataFrame = {
     val spark = a.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // the static b side is scanned in every ring-expansion round — persist it
+    val bCached = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // counting the persisted side is one cheap action and primes the cache —
+    // callers should NOT pre-count with a second scan of the source
+    val bCount = if (bCountHint >= 0) bCountHint else bCached.count()
     val area = math.max(extent.width * extent.height, 1e-12)
     var r = math.max(1e-9, 2.0 * math.sqrt(k * area / (math.Pi * math.max(bCount, 1L))))
     val diag = math.sqrt(extent.width * extent.width + extent.height * extent.height)
-    // the static b side is scanned in every ring-expansion round — persist it
-    val bCached = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint truncates lineage each round — otherwise iteration i
     // re-evaluates every previous round's distance join through the growing
     // anti-join chain (quadratic recompute)

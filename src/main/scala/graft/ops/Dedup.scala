@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.SimHash
+import graft.functions.{MinHashSig, OracleHash, SimHash}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,14 +24,31 @@ object Dedup {
 
   // ---- n-gram Jaccard ------------------------------------------------------
 
-  /** Distinct word-k-gram shingles of a text column, hashed to long. */
-  def shingles(text: Column, k: Int): Column = {
+  /** Distinct word-k-gram shingles of a text column, hashed to long.
+    * `hashFn` defaults to xxhash64 (the production hash); the minhash path
+    * passes [[OracleHash.hash60]] so DuckDB can replay the identical values.
+    */
+  def shingles(text: Column, k: Int,
+               hashFn: Column => Column = xxhash64(_)): Column = {
     val toks = split(trim(text), "\\s+")
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => when(size(toks) >= k, xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      i => when(size(toks) >= k, hashFn(concat_ws(" ", slice(toks, i + 1, lit(k))))))
     array_distinct(filter(grams, _.isNotNull))
   }
+
+  /** DuckDB CTEs producing the same distinct hash60 shingles per doc:
+    * `sh60(doc_id, h)`. Mirrors [[shingles]] with [[OracleHash.hash60]].
+    */
+  def shinglesHash60Sql(k: Int, from: String = "documents"): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $from
+       |), sh60 AS (
+       |  SELECT DISTINCT doc_id,
+       |         ${OracleHash.hash60Sql(s"array_to_string(t[i + 1 : i + $k], ' ')")} AS h
+       |  FROM toks, range(0, 4096) r(i)
+       |  WHERE len(t) >= $k AND i <= len(t) - $k
+       |)""".stripMargin.replace("\n", " ")
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles, equi-join
     * on shingle, count common shingles per pair, compare against sizes with
@@ -123,30 +140,41 @@ object Dedup {
 
   // ---- MinHash LSH -----------------------------------------------------------
 
+  /** Mersenne prime 2^31-1: `a*(h mod p)+b` stays within int64 in BOTH
+    * engines (DuckDB BIGINT ops error on overflow).
+    */
+  val MinHashP = 2147483647L
+
+  /** Seeded permutation coefficients — the single source of truth for the
+    * Spark expression AND the generated DuckDB oracle (no drift possible).
+    */
+  def minhashPerms(numPerm: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPerm)((rnd.nextInt((MinHashP - 1).toInt).toLong + 1,
+                       rnd.nextInt(MinHashP.toInt).toLong))
+  }
+
   /** MinHash signature (numPerm permutations via `(a_i * h + b_i) mod p`) over
-    * the shingle set, banded for LSH: documents sharing any band bucket are
-    * candidates; candidates are verified with exact Jaccard on signature
-    * agreement (estimate) — the standard shingle→minhash→band→bucket-join.
+    * the hash60 shingle set, banded for LSH: documents sharing any band bucket
+    * are candidates — the standard shingle→minhash→band→bucket-join. The whole
+    * signature is ONE native codegen'd pass over the shingle array
+    * ([[graft.functions.MinHashSig]]); the band bucket is md5 over the
+    * comma-joined band minima (replayable in DuckDB, unlike xxhash64).
     */
   def minhashCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime); keeps a*h+b within int64
-    val rnd = new scala.util.Random(42)
-    val perms = Array.fill(numPerm)((rnd.nextInt((p - 1).toInt).toLong + 1, rnd.nextInt(p.toInt).toLong))
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
+    val perms = minhashPerms(numPerm)
+    val sh = docs.select(col(idCol).as("id"),
+        shingles(col(textCol), k, OracleHash.hash60).as("shs"))
       .filter(size(col("shs")) > 0)
-    // signature: per permutation, min over shingles of (a*(h mod p)+b) mod p
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("shs"),
-        h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p)))).as(s"m$i")
-    }
-    val sig = sh.select((col("id") +: sigCols): _*)
-    // bands: hash rowsPerBand consecutive minhashes per band, explode
+    val sig = sh.select(col("id"),
+      MinHashSig(col("shs"), perms.map(_._1), perms.map(_._2), MinHashP).as("sig"))
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
-        xxhash64((bi * rowsPerBand until (bi + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("bucket"))
+        md5(array_join(transform(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), ",").cast("binary")).as("bucket"))
     }
     // pair generation via bucket self-join: a hot bucket shuffle-partitions
     // instead of materializing all its ids in one collect_list row (which
@@ -161,17 +189,54 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard verify. */
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard verify
+    * (over the same hash60 shingle sets the candidates were built from).
+    */
   def minhashDedupPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                         num: Int = 1, den: Int = 2): DataFrame = {
     val cand = minhashCandidates(docs, k, numPerm, bands)
-    val shArr = docs.select(col("doc_id"), shingles(col("text"), k).as("shs"))
+    val shArr = docs.select(col("doc_id"), shingles(col("text"), k, OracleHash.hash60).as("shs"))
     cand.join(shArr.toDF("a_id", "a_shs"), "a_id")
       .join(shArr.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
       .filter(col("common") * den >=
         lit(num) * (size(col("a_shs")) + size(col("b_shs")) - col("common")))
       .select(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB oracle replaying [[minhashDedupPairs]] end-to-end: hash60
+    * shingles → the same seeded permutations (spliced as a VALUES literal) →
+    * md5 band buckets → bucket self-join candidates → exact Jaccard verify.
+    */
+  def minhashDedupSql(k: Int, numPerm: Int, bands: Int, num: Int, den: Int): String = {
+    val rowsPerBand = numPerm / bands
+    val permRows = minhashPerms(numPerm).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH ${shinglesHash60Sql(k)},
+       |perms(i, a, b) AS (VALUES $permRows),
+       |mh AS (
+       |  SELECT doc_id, i, min((a * (h % $MinHashP) + b) % $MinHashP) AS m
+       |  FROM sh60 CROSS JOIN perms GROUP BY 1, 2
+       |), bnd AS (
+       |  SELECT doc_id, i // $rowsPerBand AS band,
+       |         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |  FROM mh GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh60 GROUP BY 1
+       |), common AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS common
+       |  FROM cand c JOIN sh60 sa ON sa.doc_id = c.a_id
+       |              JOIN sh60 sb ON sb.doc_id = c.b_id AND sa.h = sb.h
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.a_id, c.b_id FROM common c
+       |  JOIN sizes sa ON sa.doc_id = c.a_id
+       |  JOIN sizes sb ON sb.doc_id = c.b_id
+       | WHERE c.common * $den >= $num * (sa.n_sh + sb.n_sh - c.common)""".stripMargin.replace("\n", " ")
   }
 
   // ---- SimHash ---------------------------------------------------------------
@@ -182,9 +247,11 @@ object Dedup {
     * piece), verified by bit_count(xor). Complete w.r.t. the SimHash metric.
     */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   oracleHash: Boolean = false): DataFrame = {
     require(maxHam <= 3, "4-band pigeonhole supports maxHam <= 3")
-    val f = docs.select(col(idCol).as("id"), SimHash.simhash64(col(textCol)).as("f"))
+    val fp = if (oracleHash) SimHash.simhash60(col(textCol)) else SimHash.simhash64(col(textCol))
+    val f = docs.select(col(idCol).as("id"), fp.as("f"))
     val banded = f.select(col("id"), col("f"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -198,10 +265,78 @@ object Dedup {
       .distinct()
   }
 
+  /** DuckDB oracle replaying [[simhashPairs]] (oracleHash=true) end-to-end
+    * over `from(doc_id, text)`: simhash60 fingerprints → 4×16-bit band join →
+    * Hamming verify.
+    */
+  def simhashPairsSql(maxHam: Int, from: String): String =
+    s"""WITH ${SimHash.simhash60Sql(from)},
+       |sbnd AS (
+       |  SELECT doc_id, f, b AS band, (f >> (b * 16)) & 65535 AS piece
+       |  FROM shfp, range(0, 4) r(b)
+       |)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM sbnd a JOIN sbnd b
+       |  ON a.band = b.band AND a.piece = b.piece AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.f, b.f)) <= $maxHam""".stripMargin.replace("\n", " ")
+
   /** Keep-list from a near-dup pair set: drop the larger id of each pair
-    * (connected-component-lite: min-id survivor per direct link).
+    * (connected-component-lite: min-id survivor per direct link). For
+    * TRANSITIVE chains use [[connectedComponents]] — a direct-link keep-list
+    * keeps C out of A~B~C when (B,C) is the only edge naming C's survivor.
     */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol))
       .join(pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Min-id connected components by iterative label propagation: every node
+    * starts as its own label; each round a node takes the min of its own and
+    * its neighbours' labels; stop at fixpoint. O(diameter) rounds, each one
+    * shuffle on node id — near-dup components are shallow (diameter ≤ a few),
+    * so this is a handful of shuffles at any scale. `localCheckpoint` per
+    * round truncates the lineage (the [[graft.join.SpatialJoins.knnJoin]]
+    * pattern — without it round i re-evaluates rounds 0..i-1).
+    *
+    * Returns `(doc_id, comp)` with `comp` = the component's minimum id.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", maxIters: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaEdges = edges.join(labels, edges("v") === labels("id"))
+        .select(col("u").as("id"), col("comp"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // converged when no label moved: changed-count is one cheap agg on
+      // already-checkpointed inputs
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("comp"))
+  }
+
+  /** DuckDB oracle for [[connectedComponents]] over jaccard pairs: a
+    * recursive CTE computing min reachable id per node (fine at oracle scale;
+    * the Spark side is the scalable path).
+    */
+  def connectedComponentsSql(pairsSql: String, from: String = "documents"): String =
+    s"""WITH RECURSIVE pr AS ($pairsSql),
+       |e AS (SELECT a_id AS u, b_id AS v FROM pr UNION ALL SELECT b_id, a_id FROM pr),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM $from
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+       |)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp FROM reach GROUP BY 1""".stripMargin.replace("\n", " ")
 }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte],
                           width: Int, height: Int, sample_rate: Int)
 
-/** Extracted features — fixed shape regardless of decoder. */
+/** Extracted features — fixed shape regardless of decoder. `checksum` is the
+  * md5 hex of the raw blob (cross-engine replayable: DuckDB md5's the same
+  * UTF-8 bytes); the histogram comes from the decode stub.
+  */
 final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-                               checksum: Long, histogram: Array[Long])
+                               checksum: String, histogram: Array[Long])
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata. The Spark-side plumbing (schema, partition-sized batching,
@@ -20,19 +23,28 @@ final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
   */
 object Multimodal {
 
-  /** Deterministic fake "decode": byte histogram (16 buckets) + FNV checksum.
+  /** Deterministic fake "decode": byte histogram (16 buckets).
     * >>> REAL-CODEC SEAM: replace the body with an actual decoder. <<<
     */
-  def decodeStub(media: Array[Byte]): (Long, Array[Long]) = {
+  def decodeStub(media: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
-    var h = graft.functions.SimHash.FnvOffset
     var i = 0
     while (i < media.length) {
       hist((media(i) & 0xff) >> 4) += 1
-      h ^= (media(i) & 0xffL); h *= graft.functions.SimHash.FnvPrime
       i += 1
     }
-    (h, hist)
+    hist
+  }
+
+  private val mdDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5 hex of a blob — matches Spark `md5()` and DuckDB `md5()`. */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = mdDigest.get(); d.reset()
+    d.digest(bytes).map(b => f"$b%02x").mkString
   }
 
   /** Synthesize a media table from the documents table: html-ish bytes as the
@@ -58,8 +70,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val (checksum, hist) = decodeStub(row.media)
-        MediaFeatures(row.doc_id, row.kind, row.media.length.toLong, checksum, hist)
+        val hist = decodeStub(row.media)
+        MediaFeatures(row.doc_id, row.kind, row.media.length.toLong,
+          md5Hex(row.media), hist)
       }
     }
   }

@@ -60,38 +60,33 @@ object Similarity {
        |  FROM dots
        |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
 
+  /** Seeded integer hyperplanes, flattened row-major — the single source of
+    * truth for the Spark expression AND the generated DuckDB oracle.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes * dim)((rnd.nextInt(2001) - 1000).toLong)
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): random-hyperplane signature
     * (`numPlanes` sign bits from seeded pseudo-random hyperplanes), candidates
     * = corpus rows sharing a signature band with the query, re-ranked exactly
     * within the candidate set. Recall < 1 by design; the scale win is that the
     * corpus is bucketed once (one shuffle) and each query probes only its
-    * buckets instead of scanning the corpus.
+    * buckets instead of scanning the corpus. The whole signature is ONE
+    * native codegen'd pass ([[graft.functions.HyperplaneBands]]) — the
+    * round-1 `aggregate(zip_with(...))` chain cost 33.6 s for 100 vectors on
+    * expression-tree overhead alone.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): DataFrame = {
     require(numPlanes % bands == 0)
     val rowsPerBand = numPlanes / bands
-    val rnd = new scala.util.Random(seed)
-    // deterministic hyperplanes, quantized to integers for engine parity
-    val planes = Array.fill(numPlanes, dim)(rnd.nextInt(2001) - 1000)
-    def signBits(emb: Column): Column = {
-      val q = quantized(emb)
-      val bits = planes.map { pl =>
-        val dot = aggregate(zip_with(q,
-          array(pl.map(w => lit(w.toLong)): _*), (x, y) => x * y), lit(0L), (a, v) => a + v)
-        when(dot >= 0, lit(1L)).otherwise(lit(0L))
-      }
-      bits.zipWithIndex.map { case (b, i) => shiftleft(b, i) }.reduce(_ bitwiseOR _)
-    }
+    val planes = hyperplanes(numPlanes, dim, seed)
     def banded(df: DataFrame, idName: String): DataFrame =
       df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
-          signBits(col("embedding")).as("sig"))
-        .select(col(idName), col(s"${idName}_emb"),
-          explode(array((0 until bands).map(bi => struct(lit(bi).as("band"),
-            shiftrightunsigned(col("sig"), bi * rowsPerBand)
-              .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("piece"))): _*)).as("bp"))
-        .select(col(idName), col(s"${idName}_emb"),
-          col("bp.band").as("band"), col("bp.piece").as("piece"))
+          posexplode(graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand)))
+        .toDF(idName, s"${idName}_emb", "band", "piece")
     val qb = banded(queries, "q_id")
     val cb = banded(corpus, "c_id")
     val cand = qb.join(cb, Seq("band", "piece"))
@@ -103,33 +98,138 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
   }
 
-  /** Exact embedding-cosine near-duplicate pairs: normalized quantized dot ≥
-    * threshold (in millionths, integer compare via cross-multiplication of
-    * squared dot vs squared norms — no floats anywhere).
-    * dot²·10⁶ ≥ t²·|a|²·|b|²  (guarded on dot ≥ 0), t in thousandths.
+  /** DuckDB oracle replaying [[lshTopK]] end-to-end: the seeded hyperplanes
+    * are spliced in as a VALUES literal (`planes(pl, i, w)`, `i` 1-based to
+    * match DuckDB list indexing), sign bits packed per band exactly like the
+    * native expression.
+    */
+  def lshTopKSql(nQueries: Int, k: Int, dim: Int,
+                 numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): String = {
+    val rowsPerBand = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val planeRows = (for (pl <- 0 until numPlanes; i <- 0 until dim)
+      yield s"($pl, ${i + 1}, ${planes(pl * dim + i)})").mkString(", ")
+    s"""WITH planes(pl, i, w) AS (VALUES $planeRows),
+       |ev AS (
+       |  SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS x
+       |  FROM embeddings, range(1, ${dim + 1}) r(i)
+       |), dotsig AS (
+       |  SELECT ev.vec_id, p.pl, sum(ev.x * p.w) AS d
+       |  FROM ev JOIN planes p ON p.i = ev.i GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT vec_id, pl // $rowsPerBand AS band,
+       |         CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (pl % $rowsPerBand)) ELSE 0 END) AS BIGINT) AS piece
+       |  FROM dotsig GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM sig q JOIN sig c ON q.band = c.band AND q.piece = c.piece
+       |  WHERE q.vec_id < $nQueries
+       |), dots AS (
+       |  SELECT cand.q_id, cand.c_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM cand JOIN ev a ON a.vec_id = cand.q_id
+       |            JOIN ev b ON b.vec_id = cand.c_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, c_id, dot, rank FROM (
+       |  SELECT q_id, c_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rank
+       |  FROM dots
+       |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** The exact cosine-threshold filter on a pair frame carrying
+    * `(a_id, b_id, a_q, a_n2, b_q, b_n2)`: normalized quantized dot ≥
+    * threshold (in thousandths), integer compare via cross-multiplication of
+    * squared dot vs squared norms — no floats anywhere.
+    * dot²·10⁶ ≥ t²·|a|²·|b|²  (guarded on dot ≥ 0).
+    */
+  private def exactCosineFilter(pairs: DataFrame, tMilli: Int): DataFrame =
+    pairs.withColumn("dot", qdot(col("a_q"), col("b_q")))
+      // compare in BigDecimal space: dot² * 10⁶ vs t² * n2a * n2b (can exceed int64)
+      .filter(col("dot") >= 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+          lit(tMilli.toLong * tMilli) * col("a_n2").cast("decimal(38,0)") * col("b_n2"))
+      .select(col("a_id"), col("b_id"))
+
+  /** Exact all-pairs cosine near-duplicates — O(n²) crossJoin; the
+    * correctness ORACLE for [[lshNearDupPairs]], never the scale path.
     */
   def cosineNearDupPairs(embs: DataFrame, tMilli: Int): DataFrame = {
     val withNorm = embs.select(col("vec_id"), col("embedding"),
       qdot(col("embedding"), col("embedding")).as("n2"))
     val a = withNorm.toDF("a_id", "a_q", "a_n2")
     val b = withNorm.toDF("b_id", "b_q", "b_n2")
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("dot", qdot(col("a_q"), col("b_q")))
-      // compare in BigDecimal space: dot² * 10⁶ vs t² * n2a * n2b (can exceed int64)
-      .filter(col("dot") >= 0 &&
-        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
-          lit(tMilli.toLong * tMilli) * col("a_n2").cast("decimal(38,0)") * col("b_n2"))
-      .select(col("a_id"), col("b_id"))
+    exactCosineFilter(a.crossJoin(b).filter(col("a_id") < col("b_id")), tMilli)
   }
 
-  /** DuckDB oracle for [[cosineNearDupPairs]] (HUGEINT keeps the squared
-    * comparison exact).
+  /** Embedding-cosine near-duplicate pairs, LSH-banded (the 100 TB path):
+    * candidates from a random-hyperplane band self-join (`bands` bands of
+    * `rowsPerBand` sign bits, one native-codegen'd signature pass), then the
+    * EXACT integer cosine filter — so precision is always 1; only recall
+    * depends on the banding. With the default 12 bands × 16 bits, a pair at
+    * cosine c collides with probability 1-(1-p^16)^12, p = 1-acos(c)/π:
+    * ~1-6e-14 at c=0.9998 (perturbation-planted dups), 0.09 at the c=0.95
+    * threshold boundary — pairs far above threshold (the near-dup regime) are
+    * caught; raise `bands` (or multi-probe) to chase boundary pairs.
+    * Candidate volume for unrelated pairs ≈ bands·n²/2¹⁶ vs crossJoin's n²/2.
+    */
+  def lshNearDupPairs(embs: DataFrame, tMilli: Int, dim: Int,
+                      bands: Int = 12, rowsPerBand: Int = 16,
+                      seed: Long = 11L): DataFrame = {
+    val planes = hyperplanes(bands * rowsPerBand, dim, seed)
+    val withSig = embs.select(col("vec_id"), col("embedding"),
+        qdot(col("embedding"), col("embedding")).as("n2"),
+        graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand).as("sig"))
+    def banded(p: String) = withSig
+      .select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_q"),
+        col("n2").as(s"${p}_n2"), posexplode(col("sig")))
+      .toDF(s"${p}_id", s"${p}_q", s"${p}_n2", "band", "piece")
+    val cand = banded("a").join(banded("b").withColumnRenamed("band", "band_b")
+        .withColumnRenamed("piece", "piece_b"),
+        col("band") === col("band_b") && col("piece") === col("piece_b") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_q", "a_n2", "b_q", "b_n2").distinct()
+    exactCosineFilter(cand, tMilli)
+  }
+
+  /** Deterministic planted near-duplicates: every 5th vector is duplicated
+    * under `vec_id + 10⁷` with a tiny per-component integer-derived
+    * perturbation (cosine ≈ 0.9998 to its original) — the analogue of
+    * `withNearDups` on documents, giving near-dup detectors planted positives
+    * at a realistic operating point regardless of the corpus.
+    */
+  def withPlantedDups(embs: DataFrame): DataFrame = {
+    val base = embs.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+    val mutated = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          v + ((col("vec_id") * 31 + i) % 7 - 3) / lit(1000.0)).as("embedding"))
+    base.unionByName(mutated)
+  }
+
+  /** DuckDB CTE fragment `ev(vec_id, i, x)` over [[withPlantedDups]] of the
+    * embeddings table (i is 1-based; x is the quantized component).
+    */
+  private def plantedEvSql(dim: Int): String =
+    s"""ev0 AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, range(1, ${dim + 1}) r(i)
+       |), ev1 AS (
+       |  SELECT vec_id, i, v FROM ev0
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, i, v + ((vec_id * 31 + (i - 1)) % 7 - 3) / 1000.0
+       |  FROM ev0 WHERE vec_id % 5 = 0
+       |), ev AS (
+       |  SELECT vec_id, i, CAST(round(v * 1000) AS BIGINT) AS x FROM ev1
+       |)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB oracle for near-dup pairs over the planted table: exact all-pairs
+    * (HUGEINT keeps the squared comparison exact). The Spark side must find
+    * every pair the exact oracle finds — LSH recall is part of the gate.
     */
   def cosineNearDupSql(tMilli: Int, dim: Int): String =
-    s"""WITH ev AS (
-       |  SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS x
-       |  FROM embeddings, range(1, ${dim + 1}) r(i)
-       |), n2 AS (
+    s"""WITH ${plantedEvSql(dim)}, n2 AS (
        |  SELECT vec_id, sum(x * x) AS n2 FROM ev GROUP BY 1
        |), dots AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dot

@@ -102,32 +102,67 @@ object TextOps {
     */
   def contentFingerprint(text: Column): Column = md5(text)
 
-  /** Winnowing document fingerprint (Schleimer et al. 2003): k-gram rolling
-    * hashes, minimum per window, distinct mins = fingerprint set; we return
-    * the set's xor-fold as a single long.
+  /** Winnowing document fingerprint (Schleimer et al. 2003): k-gram hashes
+    * over the lowercased text, rightmost-minimum per sliding window, xor-fold
+    * of the distinct selected hashes. The k-gram hash is the cross-engine
+    * [[graft.functions.OracleHash.hash60]] so the DuckDB oracle
+    * ([[winnowSelectSql]]) replays the fingerprint bit-for-bit; at web scale
+    * you would swap in a rolling hash (same selection logic, cheaper hash).
     */
   def winnowFingerprint(text: String, k: Int = 8, window: Int = 16): Long = {
-    val bytes = text.toLowerCase.getBytes("UTF-8")
-    if (bytes.length < k) return graft.functions.SimHash.fnv1a(bytes, 0, bytes.length)
-    // size by BYTE length — multibyte UTF-8 makes bytes.length > char count
-    val hashes = new Array[Long](bytes.length - k + 1)
-    var i = 0
-    while (i + k <= bytes.length) {
-      hashes(i) = graft.functions.SimHash.fnv1a(bytes, i, i + k)
-      i += 1
-    }
-    val n = hashes.length
+    val lt = text.toLowerCase(java.util.Locale.ROOT)
+    if (lt.length < k) return graft.functions.OracleHash.hash60(lt)
+    val n = lt.length - k + 1
+    val hashes = Array.tabulate(n)(i => graft.functions.OracleHash.hash60(lt.substring(i, i + k)))
     val win = math.min(window, n)
-    var fp = 0L
-    var last = -1
-    var w = 0
-    while (w + win <= n) {
-      var minIdx = w
-      var j = w + 1
-      while (j < w + win) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
-      if (minIdx != last) { fp ^= hashes(minIdx); last = minIdx }
-      w += 1
+    // rightmost argmin per window; a position is xored once no matter how
+    // many windows select it
+    val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var j = 0
+    while (j + win <= n) {
+      var minIdx = j
+      var t = j + 1
+      while (t < j + win) { if (hashes(t) <= hashes(minIdx)) minIdx = t; t += 1 }
+      selected += minIdx
+      j += 1
     }
-    fp
+    selected.foldLeft(0L)((acc, p) => acc ^ hashes(p))
+  }
+
+  /** DuckDB SQL replaying [[winnowFingerprint]] over `from(doc_id, text)`:
+    * emits CTEs ending in `wfp(doc_id, winnow_fp)`.
+    */
+  def winnowSql(from: String, k: Int = 8, window: Int = 16): String = {
+    val h = graft.functions.OracleHash.hash60Sql(s"substr(lt, i + 1, $k)")
+    s"""wl AS (
+       |  SELECT doc_id, lower(text) AS lt, len(lower(text)) AS n FROM $from
+       |), kg AS (
+       |  SELECT doc_id, i, $h AS h
+       |  FROM wl, range(0, 4096) r(i) WHERE n >= $k AND i <= n - $k
+       |), kn AS (
+       |  SELECT doc_id, count(*) AS nk, least($window, count(*)) AS win
+       |  FROM kg GROUP BY 1
+       |), wins AS (
+       |  SELECT kn.doc_id, j, win FROM kn, range(0, 4096) r(j) WHERE j <= nk - win
+       |), wm AS (
+       |  SELECT w.doc_id, w.j, w.win, min(g.h) AS mn
+       |  FROM wins w JOIN kg g ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + w.win - 1
+       |  GROUP BY 1, 2, 3
+       |), selp AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT m.doc_id AS doc_id, m.j, max(g.i) AS p
+       |    FROM wm m JOIN kg g ON g.doc_id = m.doc_id
+       |      AND g.i BETWEEN m.j AND m.j + m.win - 1 AND g.h = m.mn
+       |    GROUP BY 1, 2
+       |  )
+       |), fps AS (
+       |  SELECT s.doc_id, bit_xor(g.h) AS fp
+       |  FROM selp s JOIN kg g ON g.doc_id = s.doc_id AND g.i = s.p GROUP BY 1
+       |), wfp AS (
+       |  SELECT w.doc_id,
+       |         CASE WHEN w.n < $k THEN ${graft.functions.OracleHash.hash60Sql("w.lt")}
+       |              ELSE coalesce(f.fp, 0) END AS winnow_fp
+       |  FROM wl w LEFT JOIN fps f ON f.doc_id = w.doc_id
+       |)""".stripMargin.replace("\n", " ")
   }
 }

@@ -35,24 +35,29 @@ object Traces {
       .as[Geom]
   }
 
-  /** Write a small dataset as a single reference-format trace file (header +
-    * `%.2f` lines). Local materialization — fixture/export use, not a
-    * distributed sink (the parquet sink is the scale path).
+  /** CPython '%.2f' rounds HALF_EVEN; Java's rounds HALF_UP — format via
+    * BigDecimal so adversarial tie values (x.xx5) match the reference bytes.
+    */
+  private def f2(v: Double): String =
+    new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  /** Write a dataset as a reference-format trace (header line + `%.2f`
+    * rows, id-sorted). Distributed: rows are formatted and written by an
+    * executor task, never collected to the driver (a sequential text format
+    * is inherently single-writer, but the writer is a task, not the driver
+    * heap). `path` becomes a directory of one part file — [[readTextTrace]]
+    * reads it transparently.
     */
   def writeTextTrace(ds: Dataset[Geom], path: String): Unit = {
-    val rows = ds.collect().sortBy(_.id)
-    val sb = new StringBuilder
-    // CPython '%.2f' rounds HALF_EVEN; Java's rounds HALF_UP — format via
-    // BigDecimal so adversarial tie values (x.xx5) match the reference bytes
-    def f2(v: Double): String =
-      new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_EVEN).toPlainString
-    sb.append(rows.length).append('\n')
-    rows.foreach { g =>
-      sb.append(g.id).append(' ')
-        .append(f2(g.xmin)).append(' ').append(f2(g.xmax)).append(' ')
-        .append(f2(g.ymin)).append(' ').append(f2(g.ymax)).append('\n')
-    }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    import ds.sparkSession.implicits._
+    val n = ds.count()
+    ds.repartition(1).sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val body = it.map(g =>
+          s"${g.id} ${f2(g.xmin)} ${f2(g.xmax)} ${f2(g.ymin)} ${f2(g.ymax)}")
+        Iterator(n.toString) ++ body
+      }
+      .write.mode("overwrite").text(path)
   }
 
   private val numRe = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"

@@ -13,7 +13,11 @@ class SourcesSpec extends AnyFunSuite {
     val g = graft.ingest.Workloads.uniformPolygons(spark, 500, 123)
     val path = java.nio.file.Files.createTempDirectory("trace").resolve("C_t.txt").toString
     Traces.writeTextTrace(g, path)
-    val first = scala.io.Source.fromFile(path).getLines().next()
+    // distributed writer emits a directory with one part file
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(path)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val first = scala.io.Source.fromFile(part.toFile).getLines().next()
     assert(first == "500") // header = num_rows, reference format
     val back = Traces.readTextTrace(spark, path).collect().sortBy(_.id)
     val orig = g.collect().sortBy(_.id)
