@@ -43,6 +43,9 @@ object QuantizedDot {
     var acc = 0L
     var i = 0
     while (i < n) {
+      // a null element read via getFloat/getDouble would silently be 0/garbage
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"null element at $i: embedding vectors must be dense (containsNull=false)")
       val x = if (aFloats) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloats) b.getFloat(i).toDouble else b.getDouble(i)
       acc += q(x * 1000.0) * q(y * 1000.0)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cross-engine 60-bit hash: the first 15 hex chars of md5, as a positive
   * long. Computable identically in Spark (`conv(substr(md5(x),1,15),16,10)`),
@@ -45,6 +46,68 @@ object OracleHash {
     while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
     v >>> 4
   }
+}
+
+/** Distinct word-k-gram shingle hashes in ONE native pass: tokenize on
+  * whitespace, hash each k-token gram (joined by a single space), dedupe.
+  * The declarative `transform(sequence(...), i -> hash(concat_ws(slice(...))))`
+  * form re-evaluates the token `split()` once per array ELEMENT (Catalyst
+  * does no CSE inside higher-order-function lambdas, and CollapseProject
+  * inlines any pre-split projection right back) — measured 8-10 s per pass
+  * over 5 000 docs vs ~0.1 s for this expression.
+  *
+  * `useHash60 = true` hashes with [[OracleHash.hash60]] (DuckDB-replayable:
+  * `md5(array_to_string(t[i+1:i+k], ' '))` prefix); `false` uses FNV-1a 64
+  * (production: no MessageDigest cost, loses only the oracle replay).
+  */
+object ShingleHashes {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def shingles(text: UTF8String, k: Int, useHash60: Boolean): ArrayData = {
+    // replicate SQL semantics exactly: trim strips ASCII spaces ONLY (Java
+    // String.trim also eats control chars), split keeps trailing empties
+    // (limit -1, like Spark's split / DuckDB's regexp_split_to_array)
+    val s = text.toString
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val toks = Ws.split(s.substring(b, e), -1)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val bytes = sb.toString.getBytes("UTF-8")
+      val h =
+        if (useHash60) OracleHash.hash60(bytes)
+        else SimHash.fnv1a(bytes, 0, bytes.length)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, k: Int, useHash60: Boolean): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(text), k, useHash60))
+}
+
+case class ShingleHashesExpr(child: Expression, k: Int, useHash60: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashes.shingles(v.asInstanceOf[UTF8String], k, useHash60)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes.shingles($c, $k, $useHash60)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
 }
 
 /** MinHash signature in ONE pass over the shingle array: per permutation j,
@@ -113,6 +176,8 @@ object HyperplaneBands {
     val q = new Array[Long](dim)
     var i = 0
     while (i < dim) {
+      require(!emb.isNullAt(i),
+        s"null element at $i: embedding vectors must be dense (containsNull=false)")
       val v = if (floats) emb.getFloat(i).toDouble else emb.getDouble(i)
       q(i) = QuantizedDot.q(v * 1000.0)
       i += 1

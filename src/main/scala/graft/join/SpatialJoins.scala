@@ -98,7 +98,11 @@ object SpatialJoins {
     else {
       val s = CellScheme.forSize(jointExtent(a, b), math.max(ca, cb),
         targetPerCell = 16, maxN = 8192)
-      gridJoin(a, b, s)
+      // when the grid cap binds (rows ≫ 16·maxN²), cells run dense and the
+      // declarative join's per-cell nested loop inside the SMJ group loses to
+      // the cogroup path with its sweep/STR-indexed inner loop
+      val perCellEst = math.max(ca, cb).toDouble / s.numCells.toDouble
+      if (perCellEst > 256.0) gridJoinSweep(a, b, s) else gridJoin(a, b, s)
     }
   }
 
@@ -171,9 +175,44 @@ object SpatialJoins {
     * instead of |A|·|B| (reference sweep `cpp/1d_stripes.hpp:16-68`, event
     * order `cpp/Event.h:37-45`).
     */
+  /** Per-cell inner-loop switch: plane sweep for ordinary cells; for DENSE
+    * cells (≥ `IndexMinRows` on each side) an STR-packed R-tree over the
+    * smaller side, probed by the larger (the reference's J2 sync-traversal
+    * analogue, `cpp/RTree.h:114-165`). The sweep's cost is
+    * O(n log n + y-overlap pairs); in a dense cell nearly everything
+    * y-overlaps and it degenerates toward |A|·|B|, which is exactly where a
+    * packed index prunes by BOTH axes at once.
+    */
+  private[graft] val IndexMinRows = 512
+
   private[graft] def sweepCell(cell: Long, s: CellScheme,
                                as: Array[CellGeom], bs: Array[CellGeom]): Iterator[Pair] =
-    sweepOwned(as, bs, (rx, ry) => s.cellOf(rx, ry) == cell)
+    joinCellOwned(as, bs, (rx, ry) => s.cellOf(rx, ry) == cell)
+
+  /** Dispatch between the sweep and the STR-indexed loop. */
+  private[graft] def joinCellOwned(as: Array[CellGeom], bs: Array[CellGeom],
+                                   ownsRef: (Double, Double) => Boolean): Iterator[Pair] =
+    if (math.min(as.length, bs.length) >= IndexMinRows) strOwned(as, bs, ownsRef)
+    else sweepOwned(as, bs, ownsRef)
+
+  /** STR-indexed per-cell join: build on the smaller side, probe with the
+    * larger; emits the same (intersect ∧ owns) pair set as [[sweepOwned]].
+    */
+  private[graft] def strOwned(as: Array[CellGeom], bs: Array[CellGeom],
+                              ownsRef: (Double, Double) => Boolean): Iterator[Pair] = {
+    if (as.isEmpty || bs.isEmpty) return Iterator.empty
+    val buildA = as.length <= bs.length
+    val tree = STRTree.build(if (buildA) as else bs)
+    val probes = if (buildA) bs else as
+    val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    probes.foreach { p =>
+      tree.foreachIntersecting(p.xmin, p.xmax, p.ymin, p.ymax) { g =>
+        if (ownsRef(math.max(p.xmin, g.xmin), math.max(p.ymin, g.ymin)))
+          out += (if (buildA) Pair(g.id, p.id) else Pair(p.id, g.id))
+      }
+    }
+    out.iterator
+  }
 
   /** Plane sweep with a pluggable reference-point ownership test (shared by
     * the plain grid and the adaptive two-level scheme).
@@ -305,7 +344,7 @@ object SpatialJoins {
       ds.flatMap(g => scheme.keysOf(g).map(k => CellGeom(k, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
     replicateKeys(a).groupByKey(_.cell).cogroup(replicateKeys(b).groupByKey(_.cell)) {
       (key, as, bs) =>
-        sweepOwned(as.toArray, bs.toArray, (rx, ry) => scheme.ownerKey(rx, ry) == key)
+        joinCellOwned(as.toArray, bs.toArray, (rx, ry) => scheme.ownerKey(rx, ry) == key)
     }.toDF("a_id", "b_id")
   }
 

@@ -24,18 +24,40 @@ object Dedup {
 
   // ---- n-gram Jaccard ------------------------------------------------------
 
-  /** Distinct word-k-gram shingles of a text column, hashed to long.
+  /** Distinct word-k-gram shingles over an ALREADY-MATERIALIZED token-array
+    * column. `toks` must be a bound attribute, not the `split()` expression
+    * itself: Catalyst does no common-subexpression elimination inside
+    * higher-order-function lambdas, so an inline `split()` would re-run the
+    * regex once per array element (measured 10 s/pass on 5 000 docs — the
+    * entire round-1 jaccard/minhash "blowup" was this, not the join).
     * `hashFn` defaults to xxhash64 (the production hash); the minhash path
     * passes [[OracleHash.hash60]] so DuckDB can replay the identical values.
     */
-  def shingles(text: Column, k: Int,
-               hashFn: Column => Column = xxhash64(_)): Column = {
-    val toks = split(trim(text), "\\s+")
+  def shinglesOfTokens(toks: Column, k: Int,
+                       hashFn: Column => Column = xxhash64(_)): Column = {
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => when(size(toks) >= k, hashFn(concat_ws(" ", slice(toks, i + 1, lit(k))))))
     array_distinct(filter(grams, _.isNotNull))
   }
+
+  /** `(id, shs)` frame of distinct shingle hashes per document via the
+    * single-pass native expression ([[graft.functions.ShingleHashes]] —
+    * tokenize+shingle+hash+dedupe in one loop; the declarative form paid a
+    * per-element `split()` re-evaluation, see [[shinglesOfTokens]]).
+    */
+  def shingleFrame(docs: DataFrame, k: Int, idCol: String, textCol: String,
+                   useHash60: Boolean = false): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes(col(textCol), k, useHash60).as("shs"))
+
+  /** Shingles as a declarative column expression — kept as the cross-check
+    * oracle for the native [[shingleFrame]] path (OpsSpec asserts equality);
+    * NOT for hot paths (inlines the token split per element).
+    */
+  def shingles(text: Column, k: Int,
+               hashFn: Column => Column = xxhash64(_)): Column =
+    shinglesOfTokens(split(trim(text), "\\s+"), k, hashFn)
 
   /** DuckDB CTEs producing the same distinct hash60 shingles per doc:
     * `sh60(doc_id, h)`. Mirrors [[shingles]] with [[OracleHash.hash60]].
@@ -60,7 +82,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shArr = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
+    val shArr = shingleFrame(docs, k, idCol, textCol)
     val sh = shArr.select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     val a = sh.toDF("a_id", "a_n", "sh")
     val b = sh.toDF("b_id", "b_n", "sh_b")
@@ -111,7 +133,7 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, k: Int, num: Int, den: Int,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shArr = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
+    val shArr = shingleFrame(docs, k, idCol, textCol)
       .filter(size(col("shs")) > 0)
     val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -166,8 +188,7 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
     val perms = minhashPerms(numPerm)
-    val sh = docs.select(col(idCol).as("id"),
-        shingles(col(textCol), k, OracleHash.hash60).as("shs"))
+    val sh = shingleFrame(docs, k, idCol, textCol, useHash60 = true)
       .filter(size(col("shs")) > 0)
     val sig = sh.select(col("id"),
       MinHashSig(col("shs"), perms.map(_._1), perms.map(_._2), MinHashP).as("sig"))
@@ -195,7 +216,7 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                         num: Int = 1, den: Int = 2): DataFrame = {
     val cand = minhashCandidates(docs, k, numPerm, bands)
-    val shArr = docs.select(col("doc_id"), shingles(col("text"), k, OracleHash.hash60).as("shs"))
+    val shArr = shingleFrame(docs, k, "doc_id", "text", useHash60 = true)
     cand.join(shArr.toDF("a_id", "a_shs"), "a_id")
       .join(shArr.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))

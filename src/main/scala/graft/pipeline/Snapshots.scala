@@ -59,7 +59,13 @@ final class Snapshots(spark: SparkSession, root: String) {
          | "partitions": {${files.map { case (k, (n, h)) =>
              s""""$k": {"rows": $n, "hash": $h}""" }.mkString(", ")}}}"""
         .stripMargin.replace("\n", "")
-    Files.writeString(dir.resolve("_manifest.json"), manifest)
+    // manifest is the commit point — write to a temp name and move
+    // atomically so a crash mid-write can never leave a half manifest that
+    // committed() would treat as a commit
+    val tmp = dir.resolve("_manifest.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, dir.resolve("_manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     id
   }
 
@@ -73,11 +79,12 @@ final class Snapshots(spark: SparkSession, root: String) {
     latest(stage).map(id => Files.readString(
       stageDir(stage).resolve(id.toString).resolve("_manifest.json")))
 
-  /** True iff the latest snapshot's recorded input lineage matches `inputs`. */
+  /** True iff the latest snapshot's recorded input lineage EQUALS `inputs` —
+    * full-map equality, not substring containment (id 1 must not match a
+    * recorded 11, and extra/missing inputs are a mismatch).
+    */
   private def lineageMatches(stage: String, inputs: Map[String, Long]): Boolean =
-    latestManifest(stage).exists { m =>
-      inputs.forall { case (k, v) => m.contains(s""""$k": $v""") }
-    }
+    latestManifest(stage).exists(m => Snapshots.parseInputs(m) == inputs)
 
   /** Resume-or-compute: reuse the latest committed snapshot only when its
     * recorded input lineage matches the requested inputs; otherwise compute
@@ -91,4 +98,16 @@ final class Snapshots(spark: SparkSession, root: String) {
       commit(stage, compute, inputs)
       read(stage).get
     }
+}
+
+object Snapshots {
+  /** Parse the `"inputs": {...}` object out of a manifest (the manifests are
+    * generated here with known shape — keys and long values only).
+    */
+  private[graft] def parseInputs(manifest: String): Map[String, Long] = {
+    val obj = """"inputs"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
+    """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
 }

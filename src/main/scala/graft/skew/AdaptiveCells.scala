@@ -95,11 +95,16 @@ object AdaptiveCells {
     val counts = cellCounts(a).toDF("cell", "na")
       .join(cellCounts(b).toDF("cell_b", "nb"), col("cell") === col("cell_b"))
       .select(col("cell"), col("na"), col("nb"))
-      .filter(col("na") * col("nb") > budgetPairs)
+      // compare in double: per-cell count PRODUCTS at petabyte scale (and
+      // sample scale-up) overflow int64 and would silently skip hot cells
+      .filter(col("na").cast("double") * col("nb").cast("double") > budgetPairs.toDouble)
       .collect()
     if (counts.isEmpty) return AdaptiveScheme(base, Map.empty)
-    // median object extent (sampled from both sides) bounds the split factor
-    val med = a.limit(50000).unionByName(b.limit(50000)).select(
+    // median object extent (sampled from both sides) bounds the split factor;
+    // a uniform .sample — limit() takes whichever partitions answer first and
+    // is biased on spatially-sorted input. ~100k rows is plenty for a median.
+    val medSample = math.min(1.0, 200000.0 / math.max(1L, a.count() + b.count()))
+    val med = a.sample(medSample, 42L).unionByName(b.sample(medSample, 43L)).select(
       expr("percentile(xmax - xmin, 0.5)"), expr("percentile(ymax - ymin, 0.5)")).head()
     val medW = if (med.isNullAt(0)) 1e-12 else math.max(med.getDouble(0), 1e-12)
     val medH = if (med.isNullAt(1)) 1e-12 else math.max(med.getDouble(1), 1e-12)

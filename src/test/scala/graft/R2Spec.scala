@@ -1,0 +1,177 @@
+package graft
+
+import graft.functions.{HyperplaneBands, MinHashSig, OracleHash}
+import graft.join.SpatialJoins
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 additions: native signature expressions, STR per-cell index,
+  * LSH near-dup recall, transitive survivors, stripe-direction choice.
+  */
+class SignatureExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("hash60: JVM == Spark column == first-15-hex-of-md5") {
+    import spark.implicits._
+    val vals = Seq("", "a", "abc", "hello world", "héllo", "x y z")
+    val got = vals.toDF("s").select(OracleHash.hash60(col("s"))).collect().map(_.getLong(0))
+    val jvm = vals.map(OracleHash.hash60)
+    assert(got.toSeq == jvm)
+    // independent reference: BigInteger parse of the md5 hex prefix
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ref = vals.map { s =>
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      new java.math.BigInteger(hex, 16).longValue()
+    }
+    assert(jvm == ref)
+  }
+
+  test("native shingles == declarative shingles (hash60), incl. edge cases") {
+    import spark.implicits._
+    val texts = Seq("a b c d e", "a b", "", "   ", "x x x x", "one two three",
+      "a  b\tc d", " padded text here ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = Dedup.shingleFrame(df, 3, "doc_id", "text", useHash60 = true)
+      .select(col("id"), explode_outer(col("shs")).as("h"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val declarative = df.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3, OracleHash.hash60).as("shs"))
+      .select(col("id"), explode_outer(col("shs")).as("h"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(native == declarative)
+  }
+
+  test("MinHashSig == per-permutation array_min chain") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n o p")).toDF("doc_id", "text")
+    val perms = Dedup.minhashPerms(8)
+    val p = Dedup.MinHashP
+    val sh = Dedup.shingleFrame(df, 3, "doc_id", "text", useHash60 = true)
+    val native = sh.select(col("id"),
+        MinHashSig(col("shs"), perms.map(_._1), perms.map(_._2), p).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val chain = sh.select((col("id") +: perms.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("shs"),
+          h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p)))).as(s"m$i")
+      }): _*).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    native.foreach { case (id, sig) => assert(sig == chain(id), s"doc $id") }
+  }
+
+  test("HyperplaneBands == aggregate/zip_with sign-bit chain") {
+    import spark.implicits._
+    val dim = 8
+    val df = Seq((1L, Array(0.1, -0.2, 0.3, 0.0, 1.5, -2.0, 0.7, 0.25)),
+                 (2L, Array(-1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.0))).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(4, dim, 7L)
+    val native = df.select(col("vec_id"),
+        HyperplaneBands(col("embedding"), planes, dim, 2).as("pieces"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: quantize, dot per plane, pack 2 bits per band
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, emb) =>
+      val q = emb.map(v => graft.functions.QuantizedDot.q(v * 1000.0))
+      val pieces = (0 until 2).map { band =>
+        (0 until 2).map { j =>
+          val pl = band * 2 + j
+          val dot = (0 until dim).map(i => q(i) * planes(pl * dim + i)).sum
+          if (dot >= 0) 1L << j else 0L
+        }.sum
+      }
+      assert(native(id) == pieces, s"vec $id")
+    }
+  }
+}
+
+class R2OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+  private def haveData = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfDir))
+
+  test("lshNearDupPairs == exact cosineNearDupPairs on the planted sf0.01 corpus (recall gate)") {
+    assume(haveData)
+    val embs = Similarity.withPlantedDups(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val exact = Similarity.cosineNearDupPairs(embs, 950)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.lshNearDupPairs(embs, 950, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted dups must produce pairs")
+    assert(banded == exact)
+  }
+
+  test("embed_neardup physical plan has no cartesian/BNL join") {
+    assume(haveData)
+    val plan = SparkEntry.queries("embed_neardup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("jaccardPairsPrefix == jaccardPairs on the sf0.01 corpus") {
+    assume(haveData)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plain = Dedup.jaccardPairs(docs, 3, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.jaccardPairsPrefix(docs, 3, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix == plain)
+  }
+
+  test("connectedComponents collapses transitive chains (vs union-find)") {
+    import spark.implicits._
+    val nodes = (0L to 20L).toDF("doc_id")
+    // chains: 0-1-2-3, 5-6, 7-8-9 (via 8), star: 10-{11,12,13}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map((0L to 20L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L to 20L).foreach(i => assert(got(i) == find(i), s"node $i"))
+    // survivors = component minima
+    assert(got.count { case (id, comp) => id == comp } == 21 - 3 - 1 - 2 - 3)
+  }
+
+  test("stripesJoinAuto matches stripesX output and picks a direction") {
+    import spark.implicits._
+    val ext = graft.geom.Extent(0, 100, 0, 100)
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      val x = rnd.nextDouble() * 95; val y = rnd.nextDouble() * 95
+      graft.geom.Geom(off + i, x, x + rnd.nextDouble() * 5, y, y + rnd.nextDouble() * 5)
+    }.toDS()
+    val a = mk(200, 0); val b = mk(200, 1000)
+    val x = SpatialJoins.stripesJoin(a, b, ext, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = SpatialJoins.stripesJoinAuto(a, b, ext, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val y = SpatialJoins.gridJoin(a, b, graft.cells.CellScheme.stripesY(ext, 16)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(x == y && auto == x)
+    assert(Set('x', 'y').contains(SpatialJoins.chooseStripeAxis(a, b, ext, 16)))
+  }
+
+  test("snapshot lineage: id 1 must not match recorded 11; extra inputs mismatch") {
+    val root = java.nio.file.Files.createTempDirectory("snap_r2").toString
+    val snaps = new graft.pipeline.Snapshots(spark, root)
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    snaps.commit("stage", df, Map("up" -> 11L))
+    val m = snaps.latestManifest("stage").get
+    assert(graft.pipeline.Snapshots.parseInputs(m) == Map("up" -> 11L))
+    var computed = 0
+    def compute = { computed += 1; df }
+    snaps.getOrCompute("stage", Map("up" -> 1L))(compute)   // 1 != 11 → recompute
+    assert(computed == 1)
+    snaps.getOrCompute("stage", Map("up" -> 1L))(compute)   // now matches
+    assert(computed == 1)
+    snaps.getOrCompute("stage", Map("up" -> 1L, "extra" -> 2L))(compute) // superset → recompute
+    assert(computed == 2)
+  }
+}
