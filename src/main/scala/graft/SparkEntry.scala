@@ -214,6 +214,13 @@ object SparkEntry {
         .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),
                 col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
     }),
+    // S2: reference 64-B-page binary object trace, write + distributed scan
+    "source_binary_trace" -> ((s, dir) => {
+      val g = customerPoints.load(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_bintrace_${dir.hashCode}.bin"
+      graft.sources.Traces.writeBinaryTrace(g, path)
+      graft.sources.Traces.readBinaryTrace(s, path).toDF()
+    }),
     // S1: reference text-trace write + distributed scan (float32 semantics)
     "source_text_trace" -> ((s, dir) => {
       val g = customerPoints.load(s, dir)
@@ -370,6 +377,12 @@ object SparkEntry {
     "source_wkt_roundtrip" ->
       (s"SELECT id, round(xmin, 2) AS xmin, round(xmax, 2) AS xmax, " +
         s"round(ymin, 2) AS ymin, round(ymax, 2) AS ymax FROM (${partRects.sqlSelect})"),
+    // binary trace: raw float32 narrowing (no %.2f text round-trip)
+    "source_binary_trace" ->
+      (s"SELECT id, CAST(CAST(xmin AS REAL) AS DOUBLE) AS xmin, " +
+        s"CAST(CAST(xmax AS REAL) AS DOUBLE) AS xmax, " +
+        s"CAST(CAST(ymin AS REAL) AS DOUBLE) AS ymin, " +
+        s"CAST(CAST(ymax AS REAL) AS DOUBLE) AS ymax FROM (${customerPoints.sqlSelect})"),
     "source_text_trace" ->
       (s"SELECT id, CAST(CAST(round(xmin, 2) AS REAL) AS DOUBLE) AS xmin, " +
         s"CAST(CAST(round(xmax, 2) AS REAL) AS DOUBLE) AS xmax, " +

@@ -60,6 +60,83 @@ object Traces {
       .write.mode("overwrite").text(path)
   }
 
+  // ---- binary object trace (reference S2) ----------------------------------
+  // 64-B page layout (`spatial-join-on-FPGA-PBSM/scripts/nontree_data_gen/
+  // txt_to_bin.py:42-66`): page 0 = int32-LE object count zero-padded to 64 B;
+  // every following page holds 3 obj_t records (int32 id + 4×float32, 20 B
+  // each) + 4 pad bytes; the final page is zero-padded. Zero padding is
+  // indistinguishable from a real id-0 origin point, so the header count
+  // decides which trailing records are real.
+
+  private final val PageSize = 64
+  private final val ObjSize = 20
+  private final val ObjsPerPage = 3
+
+  /** Distributed binary-trace scan: fixed-length 64-B records split across
+    * executors (`binaryRecords`), header read once driver-side.
+    */
+  def readBinaryTrace(spark: SparkSession, path: String): Dataset[Geom] = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val hdr = new Array[Byte](4)
+    try in.readFully(hdr) finally in.close()
+    val count = java.nio.ByteBuffer.wrap(hdr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
+    val pages = spark.sparkContext.binaryRecords(path, PageSize).zipWithIndex()
+    val objs = pages.filter(_._2 > 0).flatMap { case (page, pageIdx) =>
+      val bb = java.nio.ByteBuffer.wrap(page).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until ObjsPerPage).iterator.flatMap { j =>
+        val objIdx = (pageIdx - 1) * ObjsPerPage + j
+        if (objIdx < count) {
+          bb.position(j * ObjSize)
+          Some(Geom(bb.getInt().toLong,
+            bb.getFloat().toDouble, bb.getFloat().toDouble,
+            bb.getFloat().toDouble, bb.getFloat().toDouble))
+        } else None
+      }
+    }
+    spark.createDataset(objs)
+  }
+
+  /** Write the reference 64-B-page binary trace. Like [[writeTextTrace]] the
+    * sequential format is single-writer, but the writer is an executor task
+    * (no driver collect); float32 narrowing matches the reference's
+    * `struct.pack('iffff', ...)`.
+    */
+  def writeBinaryTrace(ds: Dataset[Geom], path: String): Unit = {
+    val n = ds.count()
+    require(n <= Int.MaxValue, s"binary trace header is int32; got $n rows")
+    ds.repartition(1).sortWithinPartitions("id").foreachPartition {
+      (it: Iterator[Geom]) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try {
+          val header = java.nio.ByteBuffer.allocate(PageSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          header.putInt(n.toInt)
+          out.write(header.array())
+          val page = java.nio.ByteBuffer.allocate(PageSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var inPage = 0
+          it.foreach { g =>
+            page.putInt(g.id.toInt)
+            page.putFloat(g.xmin.toFloat); page.putFloat(g.xmax.toFloat)
+            page.putFloat(g.ymin.toFloat); page.putFloat(g.ymax.toFloat)
+            inPage += 1
+            if (inPage == ObjsPerPage) {
+              out.write(page.array()); page.clear()
+              java.util.Arrays.fill(page.array(), 0.toByte)
+              inPage = 0
+            }
+          }
+          if (inPage > 0) out.write(page.array())
+        } finally out.close()
+    }
+  }
+
   private val numRe = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"
 
   /** Parse WKT POINT/POLYGON text into an MBR struct

@@ -26,6 +26,19 @@ class SourcesSpec extends AnyFunSuite {
     (back zip orig).foreach { case (b, o) => assert(b == o, s"$b != $o") }
   }
 
+  test("binary trace: 64-B page write + distributed read round-trip") {
+    val g = graft.ingest.Workloads.uniformPolygons(spark, 500, 123)
+    val path = java.nio.file.Files.createTempDirectory("btrace").resolve("C_t.bin").toString
+    Traces.writeBinaryTrace(g, path)
+    // page math: 1 header page + ceil(500/3) pages of 3 obj_t
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) == 64L * (1 + 167))
+    val back = Traces.readBinaryTrace(spark, path).collect().sortBy(_.id)
+    val orig = g.collect().sortBy(_.id)
+    assert(back.length == 500)
+    // generator emits float32-exact values → exact round-trip through iffff
+    (back zip orig).foreach { case (b, o) => assert(b == o, s"$b != $o") }
+  }
+
   test("WKT: format/parse round-trip, POINT for degenerate, parse-failure drop") {
     val rows = Seq(Geom(1, 1.25, 2.5, 3.75, 4.0), Geom(2, 7.0, 7.0, 8.0, 8.0))
     val df = spark.createDataset(rows).select(col("id"),
