@@ -120,6 +120,11 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e, 5, 64)
     }),
+    // IVF inverted-list ANN (coarse-quantizer buckets + nProbe re-rank)
+    "embed_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, 5, 64)
+    }),
     // LSH-banded candidates + exact integer-cosine verify over planted
     // near-dups (threshold 0.95 — the near-dup regime where banding has
     // ~1-recall; the exact all-pairs form is the oracle + sbt cross-check)
@@ -329,6 +334,7 @@ object SparkEntry {
     "dedup_survivors" -> Dedup.connectedComponentsSql(Dedup.jaccardPairsSql(3, 1, 2)),
     "embed_topk"    -> Similarity.bruteForceTopKSql(20, 5, 64),
     "embed_lsh_topk" -> Similarity.lshTopKSql(20, 5, 64),
+    "embed_ivf_topk" -> Similarity.ivfTopKSql(20, 5, 64),
     "embed_neardup" -> Similarity.cosineNearDupSql(950, 64),
     "spatial_golden_uniform_pp" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM read_parquet('$GoldenDumpDir/a/*.parquet') a " +

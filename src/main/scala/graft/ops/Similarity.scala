@@ -137,6 +137,80 @@ object Similarity {
        |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
   }
 
+  /** IVF-style ANN (the second scale path besides [[lshTopK]]): a small
+    * coarse-quantizer table of `nCentroids` vectors partitions the corpus
+    * into inverted lists (bucket = argmax quantized dot, ties → smaller
+    * centroid id); each query probes its `nProbe` best centroids and is
+    * exactly re-ranked within those lists only. The centroid table here is
+    * the first `nCentroids` corpus vectors — the training-free stand-in for
+    * a k-means quantizer (pluggable; the engine semantics are the inverted
+    * lists, not the training). Scale shape: centroids broadcast (tiny by
+    * construction), corpus scored once (one broadcast join + 16-row window),
+    * candidates ∝ corpus/nCentroids · nProbe instead of the full scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+    def scored(df: DataFrame, idName: String) = df
+      .select(col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"))
+      .crossJoin(cents)
+      .select(col(idName), col(s"${idName}_emb"), col("cent_id"),
+        qdot(col(s"${idName}_emb"), col("cent_emb")).as("cdot"))
+    val wAssign = Window.partitionBy(col("c_id")).orderBy(col("cdot").desc, col("cent_id"))
+    val lists = scored(corpus, "c_id")
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("c_id"), col("c_id_emb"), col("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdot").desc, col("cent_id"))
+    val probes = scored(queries, "q_id")
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("q_id"), col("q_id_emb"), col("cent_id"))
+    val cand = probes.join(lists, "cent_id")
+      .select(col("q_id"), col("c_id"),
+        qdot(col("q_id_emb"), col("c_id_emb")).as("dot"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB oracle replaying [[ivfTopK]] exactly (assignment, probing and
+    * re-rank included — the oracle checks IVF's own semantics, recall is a
+    * property of the quantizer, not a correctness gate).
+    */
+  def ivfTopKSql(nQueries: Int, k: Int, dim: Int,
+                 nCentroids: Int = 16, nProbe: Int = 4): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS x
+       |  FROM embeddings, range(1, ${dim + 1}) r(i)
+       |), cdots AS (
+       |  SELECT v.vec_id, c.vec_id AS cent_id, CAST(sum(v.x * c.x) AS BIGINT) AS cdot
+       |  FROM ev v JOIN ev c ON c.i = v.i AND c.vec_id < $nCentroids
+       |  GROUP BY 1, 2
+       |), lists AS (
+       |  SELECT vec_id AS c_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS r
+       |    FROM cdots
+       |  ) WHERE r = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cent_id) AS r
+       |    FROM cdots WHERE vec_id < $nQueries
+       |  ) WHERE r <= $nProbe
+       |), cand AS (
+       |  SELECT p.q_id, l.c_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM probes p JOIN lists l ON l.cent_id = p.cent_id
+       |       JOIN ev a ON a.vec_id = p.q_id
+       |       JOIN ev b ON b.vec_id = l.c_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, c_id, dot, rank FROM (
+       |  SELECT q_id, c_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rank
+       |  FROM cand
+       |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
+
   /** The exact cosine-threshold filter on a pair frame carrying
     * `(a_id, b_id, a_q, a_n2, b_q, b_n2)`: normalized quantized dot ≥
     * threshold (in thousandths), integer compare via cross-multiplication of
