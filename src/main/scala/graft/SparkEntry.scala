@@ -144,6 +144,9 @@ object SparkEntry {
         .map { case (id, sh, t) => (id, sh, TextOps.winnowFingerprint(t)) }
         .toDF("doc_id", "simhash", "winnow_fp")
     }),
+    // fixed-stride frame sampling + per-frame fingerprint over the payload
+    "media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(docs(s, dir), Multimodal.payloadCol)),
     "media_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col => c}
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -344,8 +347,9 @@ object SparkEntry {
     "text_signatures" ->
       (s"WITH ${graft.functions.SimHash.simhash60Sql("documents")}, ${TextOps.winnowSql("documents")} " +
         "SELECT s.doc_id, s.f AS simhash, w.winnow_fp FROM shfp s JOIN wfp w ON w.doc_id = s.doc_id"),
+    "media_frames" -> Multimodal.sampleFramesSql(),
     "media_features" -> {
-      val payload = "'<html><body>' || text || '</body></html>'"
+      val payload = Multimodal.payloadSql
       s"SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
         s"CAST(octet_length(encode($payload)) AS BIGINT) AS n_bytes, md5($payload) AS checksum FROM documents"
     },

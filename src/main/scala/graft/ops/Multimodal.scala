@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed record for an opaque media blob + metadata. */
@@ -61,6 +61,40 @@ object Multimodal {
           payload.getBytes("UTF-8"), (id % 640).toInt, (id % 480).toInt, 16000)
       }
   }
+
+  /** Declarative frame sampling over an opaque payload column: fixed-stride
+    * windows (`frameLen` units, up to `maxFrames` per blob), each frame
+    * fingerprinted with md5 — the video-frame / audio-chunk sampling shape
+    * (a real decoder would replace the stride windows with codec frame
+    * boundaries; the partitioning, explode and fingerprint plumbing is what
+    * the engine owns). Pure column expressions, DuckDB-replayable.
+    */
+  def sampleFrames(docs: DataFrame, payload: Column,
+                   frameLen: Int = 32, maxFrames: Int = 8): DataFrame = {
+    val nFrames = least(lit(maxFrames.toLong), (length(payload) / frameLen).cast("long"))
+    // guard: sequence(0, -1) would step DOWNWARD in Spark, not yield empty
+    val idxs = when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col("doc_id"),
+        posexplode(transform(idxs,
+          i => md5((payload.substr(i.cast("int") * frameLen + 1, lit(frameLen))).cast("binary")))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame_md5"))
+  }
+
+  /** The synthesized html payload as a string column (see
+    * [[mediaFromDocuments]]) — shared by the query and the oracle generator.
+    */
+  def payloadCol: Column =
+    concat(lit("<html><body>"), col("text"), lit("</body></html>"))
+
+  val payloadSql: String = "'<html><body>' || text || '</body></html>'"
+
+  /** DuckDB oracle for [[sampleFrames]] over the documents table. */
+  def sampleFramesSql(frameLen: Int = 32, maxFrames: Int = 8): String =
+    s"""SELECT doc_id, i AS frame_idx, md5(substr(p, CAST(i * $frameLen + 1 AS INT), $frameLen)) AS frame_md5
+       |FROM (SELECT doc_id, $payloadSql AS p FROM documents), range(0, $maxFrames) r(i)
+       |WHERE i < least($maxFrames, len(p) // $frameLen)""".stripMargin.replace("\n", " ")
 
   /** Feature extraction over partitions — iterator in, iterator out (never
     * materializes a partition), the same batch shape a vectorized python

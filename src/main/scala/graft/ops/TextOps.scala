@@ -16,6 +16,23 @@ object TextOps {
 
   val tokenCountSql: String = "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
 
+  /** BPE-ish subword count: a GPT-2-style pre-tokenizer pattern (letter runs,
+    * digit runs, punctuation runs, each with optional leading space) —
+    * deliberately lookahead-free so Java regex and RE2 (DuckDB) agree.
+    */
+  val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  val bpeTokenCountSql: String =
+    s"CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT)"
+
+  /** Stopword evidence: hits of the English stopword markers (shared with
+    * [[langMarkers]]' `en` row plus common fillers).
+    */
+  val StopwordPattern = "\\b(the|and|of|to|is|in|that|for|with|a|as|it|on|at|by)\\b"
+
   /** Quality metrics in basis points (integer-exact): alphabetic ratio,
     * whitespace ratio, mean token length ×100, plus raw counts.
     * A simple composite quality flag mirrors heuristics like Gopher rules:
@@ -25,11 +42,16 @@ object TextOps {
     val len    = length(text).cast("long")
     val alpha  = len - length(regexp_replace(text, "[A-Za-z]", ""))
     val spaces = len - length(regexp_replace(text, " ", ""))
+    val punct  = len - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
     val toks   = tokenCount(text)
+    val stops  = size(regexp_extract_all(text, lit(StopwordPattern), lit(0))).cast("long")
     df.withColumn("n_chars", len)
       .withColumn("n_tokens", toks)
+      .withColumn("n_bpeish", bpeTokenCount(text))
       .withColumn("alpha_bp", floor(alpha * 10000 / greatest(len, lit(1L))).cast("long"))
       .withColumn("space_bp", floor(spaces * 10000 / greatest(len, lit(1L))).cast("long"))
+      .withColumn("punct_bp", floor(punct * 10000 / greatest(len, lit(1L))).cast("long"))
+      .withColumn("stop_bp", floor(stops * 10000 / greatest(toks, lit(1L))).cast("long"))
       .withColumn("mean_tok_len_c",
         floor((len - spaces) * 100 / greatest(toks, lit(1L))).cast("long"))
       .withColumn("quality_ok",
@@ -41,10 +63,14 @@ object TextOps {
     val len    = "CAST(length(text) AS BIGINT)"
     val alpha  = s"($len - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
     val spaces = s"($len - length(regexp_replace(text, ' ', '', 'g')))"
+    val punct  = s"($len - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
     val toks   = tokenCountSql
-    s"""SELECT doc_id, $len AS n_chars, $toks AS n_tokens,
+    val stops  = s"CAST(len(regexp_extract_all(text, '$StopwordPattern')) AS BIGINT)"
+    s"""SELECT doc_id, $len AS n_chars, $toks AS n_tokens, $bpeTokenCountSql AS n_bpeish,
        | CAST(floor($alpha * 10000 / greatest($len, 1)) AS BIGINT) AS alpha_bp,
        | CAST(floor($spaces * 10000 / greatest($len, 1)) AS BIGINT) AS space_bp,
+       | CAST(floor($punct * 10000 / greatest($len, 1)) AS BIGINT) AS punct_bp,
+       | CAST(floor($stops * 10000 / greatest($toks, 1)) AS BIGINT) AS stop_bp,
        | CAST(floor(($len - $spaces) * 100 / greatest($toks, 1)) AS BIGINT) AS mean_tok_len_c,
        | ($toks >= 10 AND floor(($len - $spaces) * 100 / greatest($toks, 1)) BETWEEN 150 AND 1500
        |   AND floor($alpha * 10000 / greatest($len, 1)) >= 5000) AS quality_ok

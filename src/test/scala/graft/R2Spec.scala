@@ -157,6 +157,23 @@ class R2OpsSpec extends AnyFunSuite {
     assert(Set('x', 'y').contains(SpatialJoins.chooseStripeAxis(a, b, ext, 16)))
   }
 
+  test("streaming exact dedup == batch distinct content count (AvailableNow)") {
+    assume(haveData)
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expect = batch.select(md5(col("text"))).distinct().count()
+    // the file stream source needs a DIRECTORY of files
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = graft.streaming.DocsStream.dedupedDocs(
+      graft.streaming.DocsStream.readDocsStream(spark, dir.toString))
+    val q = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_stream").count() == expect)
+  }
+
   test("snapshot lineage: id 1 must not match recorded 11; extra inputs mismatch") {
     val root = java.nio.file.Files.createTempDirectory("snap_r2").toString
     val snaps = new graft.pipeline.Snapshots(spark, root)
