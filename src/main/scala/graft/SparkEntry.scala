@@ -236,6 +236,28 @@ object SparkEntry {
       graft.sources.Traces.writeTextTrace(g, path)
       graft.sources.Traces.readTextTrace(s, path).toDF()
     }),
+    // SQL surface: st_within / st_dwithin joins, same rewrite (predicate
+    // refinement rides on the cell candidate phase)
+    "spatial_sql_within_join" -> ((s, dir) => {
+      graft.plans.GraftSql.install(s)
+      s.conf.set(graft.plans.SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+      s.conf.set(graft.plans.SpatialJoinRule.GridKey, "64")
+      partRects.load(s, dir).createOrReplaceTempView("graft_wa")
+      ordersRects.load(s, dir).createOrReplaceTempView("graft_wb")
+      s.sql("""SELECT a.id AS a_id, b.id AS b_id FROM graft_wa a JOIN graft_wb b
+              | ON st_within(a.xmin, a.xmax, a.ymin, a.ymax,
+              |              b.xmin, b.xmax, b.ymin, b.ymax)""".stripMargin)
+    }),
+    "spatial_sql_dwithin_join" -> ((s, dir) => {
+      graft.plans.GraftSql.install(s)
+      s.conf.set(graft.plans.SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+      s.conf.set(graft.plans.SpatialJoinRule.GridKey, "64")
+      customerPoints.load(s, dir).createOrReplaceTempView("graft_da")
+      partRects.load(s, dir).createOrReplaceTempView("graft_db")
+      s.sql("""SELECT a.id AS a_id, b.id AS b_id FROM graft_da a JOIN graft_db b
+              | ON st_dwithin(a.xmin, a.xmax, a.ymin, a.ymax,
+              |               b.xmin, b.xmax, b.ymin, b.ymax, 5.0D)""".stripMargin)
+    }),
     // SQL surface: st_intersects join, rewritten by SpatialJoinRule into the
     // cell-partitioned equi-join (no cartesian product in the physical plan)
     "spatial_sql_join" -> ((s, dir) => {
@@ -365,6 +387,15 @@ object SparkEntry {
     },
     "events_window_agg" -> graft.streaming.EventsStream.windowedCountsSql,
     "spatial_sql_join"  -> joinOracle(partRects, ordersRects),
+    "spatial_sql_within_join" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
+        s"JOIN (${ordersRects.sqlSelect}) b ON ${SpatialJoins.withinSql}"),
+    "spatial_sql_dwithin_join" -> {
+      val dx = "greatest(b.xmin - a.xmax, a.xmin - b.xmax, 0)"
+      val dy = "greatest(b.ymin - a.ymax, a.ymin - b.ymax, 0)"
+      s"SELECT a.id AS a_id, b.id AS b_id FROM (${customerPoints.sqlSelect}) a " +
+        s"JOIN (${partRects.sqlSelect}) b ON sqrt($dx * $dx + $dy * $dy) <= 5.0"
+    },
     "spatial_salted_join" -> joinOracle(partRects, ordersRects),
     "spatial_within_join" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +

@@ -68,27 +68,78 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     (Project(child.output :+ cell, genX), cell.toAttribute)
   }
 
+  /** Matched spatial predicate, normalized: 8 coordinate args (predicate-a
+    * first), the candidate-phase expansion radius (st_dwithin), and the
+    * refinement to re-apply after the candidate join (None for intersects —
+    * the candidate filter IS the predicate).
+    */
+  private def matchSpatial(e: Expression): Option[(Expression, Seq[Expression], Double)] =
+    e match {
+      case st: STIntersects => Some((st, st.children, 0.0))
+      case st: graft.functions.STWithin => Some((st, st.children, 0.0))
+      case st: graft.functions.STContains => Some((st, st.children, 0.0))
+      case st: graft.functions.STDWithin if st.children(8).foldable =>
+        val r = st.children(8).eval(null) match {
+          case d: Double => d
+          case f: Float => f.toDouble
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+          case _ => return None
+        }
+        if (r < 0) None else Some((st, st.children.take(8), r))
+      case _ => None
+    }
+
+  /** The refinement expression of a matched predicate over its (coerced)
+    * 8 coordinate args in predicate order.
+    */
+  private def refinement(st: Expression, a: Seq[Expression], b: Seq[Expression],
+                         r: Double): Option[Expression] = st match {
+    case _: STIntersects => None
+    case _: graft.functions.STWithin =>
+      Some(Seq(GreaterThanOrEqual(a(0), b(0)), LessThanOrEqual(a(1), b(1)),
+               GreaterThanOrEqual(a(2), b(2)), LessThanOrEqual(a(3), b(3))).reduce(And))
+    case _: graft.functions.STContains =>
+      Some(Seq(GreaterThanOrEqual(b(0), a(0)), LessThanOrEqual(b(1), a(1)),
+               GreaterThanOrEqual(b(2), a(2)), LessThanOrEqual(b(3), a(3))).reduce(And))
+    case _: graft.functions.STDWithin =>
+      val dx = Greatest(Seq(Subtract(b(0), a(1)), Subtract(a(0), b(1)), lit(0.0)))
+      val dy = Greatest(Seq(Subtract(b(2), a(3)), Subtract(a(2), b(3)), lit(0.0)))
+      // sqrt form, bit-identical to SpatialJoins.minDistCol / the oracle SQL
+      Some(LessThanOrEqual(Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy))), lit(r)))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      conjuncts.collectFirst { case st: STIntersects => st: STIntersects } match {
-        case Some(st: STIntersects) =>
+      conjuncts.flatMap(matchSpatial(_)).headOption match {
+        case Some((st, args, r)) =>
           val rest = conjuncts.filterNot(_ eq st)
-          val args = st.children
           val firstLeft = args.take(4).forall(_.references.subsetOf(left.outputSet)) &&
             args.drop(4).forall(_.references.subsetOf(right.outputSet))
           val firstRight = args.take(4).forall(_.references.subsetOf(right.outputSet)) &&
             args.drop(4).forall(_.references.subsetOf(left.outputSet))
           if (!firstLeft && !firstRight) j
           else {
-            val (la, ra) = if (firstLeft) (args.take(4), args.drop(4)) else (args.drop(4), args.take(4))
             // post-analysis: no implicit casts are inserted for us — coerce
             // non-double coordinate expressions (FLOAT/DECIMAL columns) here
             def dbl(e: Expression): Expression =
               if (e.dataType == org.apache.spark.sql.types.DoubleType) e
               else Cast(e, org.apache.spark.sql.types.DoubleType)
-            val Seq(ax0, ax1, ay0, ay1) = la.map(dbl)
-            val Seq(bx0, bx1, by0, by1) = ra.map(dbl)
+            val pa = args.take(4).map(dbl) // predicate-a coords
+            val pb = args.drop(4).map(dbl)
+            // candidate phase: expand predicate-a's MBR by r (st_dwithin);
+            // everything downstream (cells, intersect, ownership) uses the
+            // expanded coords, mirroring SpatialJoins.distanceJoin
+            val ca =
+              if (r == 0.0) pa
+              else Seq(Subtract(pa(0), lit(r)), Add(pa(1), lit(r)),
+                       Subtract(pa(2), lit(r)), Add(pa(3), lit(r)))
+            // map candidate coords onto plan sides
+            val (la, ra) = if (firstLeft) (ca, pb) else (pb, ca)
+            val Seq(ax0, ax1, ay0, ay1) = la
+            val Seq(bx0, bx1, by0, by1) = ra
             val s = scheme
             val (lp, lcell) = withCells(s, left, ax0, ax1, ay0, ay1)
             val (rp, rcell) = withCells(s, right, bx0, bx1, by0, by1)
@@ -96,7 +147,8 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                                 And(LessThanOrEqual(ay0, by1), GreaterThanOrEqual(ay1, by0)))
             val owns = EqualTo(
               cellOf(s, Greatest(Seq(ax0, bx0)), Greatest(Seq(ay0, by0))), lcell)
-            val newCond = (Seq(EqualTo(lcell, rcell), intersect, owns) ++ rest).reduce(And)
+            val newCond = (Seq(EqualTo(lcell, rcell), intersect, owns) ++
+              refinement(st, pa, pb, r) ++ rest).reduce(And)
             Project(j.output, Join(lp, rp, Inner, Some(newCond), hint))
           }
         case None => j
@@ -112,6 +164,12 @@ object GraftSql {
   def install(spark: SparkSession): SparkSession = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(
       spark, "st_intersects", exprs => STIntersects(exprs))
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "st_within", exprs => graft.functions.STWithin(exprs))
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "st_contains", exprs => graft.functions.STContains(exprs))
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "st_dwithin", exprs => graft.functions.STDWithin(exprs))
     org.apache.spark.sql.graftbridge.Bridge.registerFunction(
       spark, "simhash64", exprs => graft.functions.SimHash64(exprs.head))
     val extra = spark.experimental.extraOptimizations
@@ -132,6 +190,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("st_intersects"),
       new ExpressionInfo(classOf[STIntersects].getName, "st_intersects"),
       (exprs: Seq[Expression]) => STIntersects(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("st_within"),
+      new ExpressionInfo(classOf[graft.functions.STWithin].getName, "st_within"),
+      (exprs: Seq[Expression]) => graft.functions.STWithin(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("st_contains"),
+      new ExpressionInfo(classOf[graft.functions.STContains].getName, "st_contains"),
+      (exprs: Seq[Expression]) => graft.functions.STContains(exprs)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("st_dwithin"),
+      new ExpressionInfo(classOf[graft.functions.STDWithin].getName, "st_dwithin"),
+      (exprs: Seq[Expression]) => graft.functions.STDWithin(exprs)))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),

@@ -92,18 +92,29 @@ object AdaptiveCells {
       in.flatMap(g => base.cellsOf(g)).groupByKey(identity).count()
         .map { case (c, n) => (c, n * scale) }
     }
-    val counts = cellCounts(a).toDF("cell", "na")
-      .join(cellCounts(b).toDF("cell_b", "nb"), col("cell") === col("cell_b"))
+    // per-cell count frames are tiny (≤ numCells rows) — persist them so the
+    // totals (for the median sample fraction) and the hot-cell filter reuse
+    // one planning pass over each input instead of three
+    val ca = cellCounts(a).toDF("cell", "na")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = cellCounts(b).toDF("cell_b", "nb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalA = ca.agg(coalesce(sum("na"), lit(0L))).head().getLong(0)
+    val totalB = cb.agg(coalesce(sum("nb"), lit(0L))).head().getLong(0)
+    val counts = ca.join(cb, col("cell") === col("cell_b"))
       .select(col("cell"), col("na"), col("nb"))
       // compare in double: per-cell count PRODUCTS at petabyte scale (and
       // sample scale-up) overflow int64 and would silently skip hot cells
       .filter(col("na").cast("double") * col("nb").cast("double") > budgetPairs.toDouble)
       .collect()
+    ca.unpersist(); cb.unpersist()
     if (counts.isEmpty) return AdaptiveScheme(base, Map.empty)
     // median object extent (sampled from both sides) bounds the split factor;
     // a uniform .sample — limit() takes whichever partitions answer first and
-    // is biased on spatially-sorted input. ~100k rows is plenty for a median.
-    val medSample = math.min(1.0, 200000.0 / math.max(1L, a.count() + b.count()))
+    // is biased on spatially-sorted input. ~100k rows is plenty for a median;
+    // the replicated cell-count totals bound row counts from above (no extra
+    // full pass just to size the sample).
+    val medSample = math.min(1.0, 200000.0 / math.max(1L, totalA + totalB))
     val med = a.sample(medSample, 42L).unionByName(b.sample(medSample, 43L)).select(
       expr("percentile(xmax - xmin, 0.5)"), expr("percentile(ymax - ymin, 0.5)")).head()
     val medW = if (med.isNullAt(0)) 1e-12 else math.max(med.getDouble(0), 1e-12)

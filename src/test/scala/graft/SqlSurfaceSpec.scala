@@ -29,6 +29,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("st_within / st_contains / st_dwithin joins rewrite and match brute force") {
+    GraftSql.install(spark)
+    spark.conf.set(SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+    spark.conf.set(SpatialJoinRule.GridKey, "32")
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.api.Derived.partRects.load(spark, dir)
+    val b = graft.api.Derived.ordersRects.load(spark, dir)
+    a.createOrReplaceTempView("sqlv_a")
+    b.createOrReplaceTempView("sqlv_b")
+    import org.apache.spark.sql.functions._
+    val coords = "a.xmin, a.xmax, a.ymin, a.ymax, b.xmin, b.xmax, b.ymin, b.ymax"
+    def run(fn: String, extra: String = "") = {
+      val df = spark.sql(
+        s"SELECT a.id AS a_id, b.id AS b_id FROM sqlv_a a JOIN sqlv_b b ON $fn($coords$extra)")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"$fn rewrite did not fire:\n$phys")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def pref(ds: org.apache.spark.sql.Dataset[graft.geom.Geom], p: String) =
+      ds.toDF(s"${p}_id", s"${p}_xmin", s"${p}_xmax", s"${p}_ymin", s"${p}_ymax")
+    def brute(p: org.apache.spark.sql.Column) =
+      pref(a, "a").join(broadcast(pref(b, "b")), p)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.join.SpatialJoins.{withinPred, containsPred, minDistCol}
+    assert(run("st_within") == brute(withinPred))
+    assert(run("st_contains") == brute(containsPred))
+    assert(run("st_dwithin", ", 8.0D") == brute(minDistCol <= 8.0))
+    assert(run("st_within").nonEmpty && run("st_contains").nonEmpty)
+  }
+
   test("st_intersects evaluates standalone (marker expression fallback)") {
     GraftSql.install(spark)
     val r = spark.sql(
