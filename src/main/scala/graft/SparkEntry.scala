@@ -58,6 +58,13 @@ object SparkEntry {
           partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
           grid, "a")
         .groupBy(col("cell")).agg(count(lit(1)).as("n_objs"))),
+    // A3 (result side): result pairs per owning cell
+    "spatial_cell_result_stats" -> ((s, dir) =>
+      SpatialJoins.cellResultStats(partRects.load(s, dir), ordersRects.load(s, dir), grid)),
+    // W5: deterministic capped output (order-by + limit — exact top-k cap)
+    "spatial_topk_capped" -> ((s, dir) =>
+      SpatialJoins.gridJoin(partRects.load(s, dir), ordersRects.load(s, dir), grid)
+        .orderBy(col("a_id"), col("b_id")).limit(100)),
     // J10 `withind`: distance join (exact MBR min-distance <= r)
     "spatial_distance_join" -> ((s, dir) =>
       SpatialJoins.distanceJoin(customerPoints.load(s, dir), partRects.load(s, dir), grid, 5.0)
@@ -314,6 +321,18 @@ object SparkEntry {
          | CAST(round(max(ymax) * 100) AS BIGINT) AS ymax_c
          | FROM (${partRects.sqlSelect})""".stripMargin.replace("\n", ""),
     "spatial_cell_stats" -> cellStatsOracle,
+    "spatial_cell_result_stats" -> {
+      def cc(v: String, len: Double, nn: Int): String =
+        s"least(greatest(CAST(floor($v / $len) AS BIGINT), 0), ${nn - 1})"
+      val gx = cc("greatest(a.xmin, b.xmin)", grid.cellW, grid.nx)
+      val gy = cc("greatest(a.ymin, b.ymin)", grid.cellH, grid.ny)
+      s"SELECT $gy * ${grid.nx} + $gx AS cell, count(*) AS n_pairs " +
+        s"FROM (${partRects.sqlSelect}) a JOIN (${ordersRects.sqlSelect}) b " +
+        s"ON $intersectSql GROUP BY 1"
+    },
+    "spatial_topk_capped" ->
+      (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
+        s"JOIN (${ordersRects.sqlSelect}) b ON $intersectSql ORDER BY 1, 2 LIMIT 100"),
     "spatial_tile_assignments" -> tileAssignOracle,
     "raster_coverage" -> coverageSql(partRects),
     "corpus_clean" ->

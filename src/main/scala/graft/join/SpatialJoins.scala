@@ -141,12 +141,25 @@ object SpatialJoins {
                  greatest(col("a_ymin"), col("b_ymin"))) === cell
 
   /** PBSM grid join as a pure Catalyst plan (equi-join on cell). */
-  def gridJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
+  def gridJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame =
+    gridJoinWithCell(a, b, s).select(col("a_id"), col("b_id"))
+
+  /** [[gridJoin]] keeping the owning cell id — feeds the per-cell
+    * result-pair metrics (each pair appears exactly once, in its owner cell,
+    * so per-cell counts need no dedup).
+    */
+  def gridJoinWithCell(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
     val ac = withCells(prefixed(a, "a"), s, "a")
     val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
     ac.join(bc, col("cell") === col("b_cell") && intersectPred && ownsPred(s, col("cell")))
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cell"))
   }
+
+  /** Per-cell result-pair counts (the north rule's per-cell result metrics —
+    * the candidate-side counterpart is `spatial_cell_stats`).
+    */
+  def cellResultStats(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame =
+    gridJoinWithCell(a, b, s).groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
 
   /** [[gridJoin]] with an explicit join-strategy hint on the b side
     * ("shuffle_hash" avoids the SMJ sorts; "broadcast" removes the shuffle
