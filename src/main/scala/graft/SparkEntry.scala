@@ -197,6 +197,9 @@ object SparkEntry {
       graft.ops.Raster.zonalStats(
         graft.ops.Raster.rasterize(customerPoints.load(s, dir), grid),
         supplierRects.load(s, dir), grid)),
+    "raster_focal_sum" -> ((s, dir) =>
+      graft.ops.Raster.focalSum(
+        graft.ops.Raster.rasterize(partRects.load(s, dir), grid), grid)),
     // J10 predicate variants: within / contains / overlaps
     "spatial_within_join" -> ((s, dir) =>
       SpatialJoins.gridJoinPred(partRects.load(s, dir), ordersRects.load(s, dir), grid,
@@ -350,6 +353,11 @@ object SparkEntry {
       (s"SELECT cell AS id, cx * ${grid.cellW} AS xmin, (cx + 1) * ${grid.cellW} AS xmax, " +
         s"cy * ${grid.cellH} AS ymin, (cy + 1) * ${grid.cellH} AS ymax " +
         s"FROM (${coverageSql(partRects)}) WHERE value >= 2"),
+    "raster_focal_sum" ->
+      (s"SELECT r.cell, r.cx, r.cy, CAST(sum(n.value) AS BIGINT) AS focal_sum " +
+        s"FROM (${coverageSql(partRects)}) r JOIN (${coverageSql(partRects)}) n " +
+        s"ON abs(r.cx - n.cx) <= 1 AND abs(r.cy - n.cy) <= 1 " +
+        s"GROUP BY 1, 2, 3"),
     "raster_zonal_stats" ->
       (s"SELECT z.id AS zone_id, count(*) AS n_pixels, CAST(sum(r.value) AS BIGINT) AS total " +
         s"FROM (${coverageSql(customerPoints)}) r JOIN (${supplierRects.sqlSelect}) z " +

@@ -46,6 +46,29 @@ object Raster {
       .as[Geom]
   }
 
+  /** Focal (neighborhood) aggregation: for every occupied cell, the sum of
+    * raster values over its 3×3 neighborhood (edge cells see their clipped
+    * neighborhood — standard focal-sum semantics on a finite grid). Shape:
+    * each cell CONTRIBUTES itself to 9 neighbor keys (one explode), then one
+    * equi-join-free groupBy on the neighbor key — shuffle ∝ 9·occupied
+    * cells, never the full lattice. Output keeps only occupied target cells
+    * (the sparse-raster convention used throughout).
+    */
+  def focalSum(raster: DataFrame, s: CellScheme): DataFrame = {
+    val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val contrib = raster.select(col("cx"), col("cy"), col("value"), explode(offs).as("o"))
+      .select((col("cx") + col("o.dx")).as("tx"), (col("cy") + col("o.dy")).as("ty"),
+        col("value"))
+      .filter(col("tx") >= 0 && col("tx") < s.nx && col("ty") >= 0 && col("ty") < s.ny)
+      .groupBy(col("tx"), col("ty"))
+      .agg(sum(col("value")).as("focal_sum"))
+    raster.select(col("cell"), col("cx"), col("cy"))
+      .join(contrib, col("cx") === col("tx") && col("cy") === col("ty"))
+      .select(col("cell"), col("cx"), col("cy"),
+        col("focal_sum").cast("long").as("focal_sum"))
+  }
+
   /** Zonal statistics: per vector zone, the sum/count of raster values whose
     * pixel center falls inside the zone (inclusive bounds). Pixel centers are
     * deterministic (`cell center = lo + (c + 0.5)·len`), so the DuckDB oracle
