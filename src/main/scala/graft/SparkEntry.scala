@@ -174,6 +174,19 @@ object SparkEntry {
           partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
           grid, "a")
         .select(col("a_id").as("id"), col("cell"))),
+    // H3/S2-style resolution change: tile assignments coarsened one level
+    // (4x4 children -> parent) by pure cell arithmetic — no re-scan of the
+    // geometry, the hierarchy IS the grid
+    "spatial_tile_coarsen" -> ((s, dir) => {
+      val f = 4L
+      SpatialJoins.withCells(
+          partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
+          grid, "a")
+        .select(col("a_id").as("id"),
+          expr(s"((cell DIV ${grid.nx}) DIV $f) * ${grid.nx / f} + ((cell % ${grid.nx}) DIV $f)")
+            .as("parent_cell"))
+        .distinct()
+    }),
     // composed training-data pipeline: quality filter -> exact dedup -> lang
     // filter, returning surviving doc ids (the canonical corpus-clean chain)
     "corpus_clean" -> ((s, dir) => {
@@ -337,6 +350,9 @@ object SparkEntry {
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
         s"JOIN (${ordersRects.sqlSelect}) b ON $intersectSql ORDER BY 1, 2 LIMIT 100"),
     "spatial_tile_assignments" -> tileAssignOracle,
+    "spatial_tile_coarsen" ->
+      (s"SELECT DISTINCT id, ((cell // ${grid.nx}) // 4) * ${grid.nx / 4} + " +
+        s"((cell % ${grid.nx}) // 4) AS parent_cell FROM (${cellRepSql(partRects)})"),
     "raster_coverage" -> coverageSql(partRects),
     "corpus_clean" ->
       (s"SELECT min(doc_id) AS doc_id FROM documents " +

@@ -55,6 +55,23 @@ final case class CellScheme(extent: Extent, nx: Int, ny: Int) {
     out.toSeq
   }
 
+  /** Parent cell id at a `factor`× coarser resolution (H3/S2-style
+    * resolution change: the grid is its own hierarchy — parent(cx,cy) =
+    * (cx/f, cy/f) on the (nx/f)×(ny/f) grid). Requires factor to divide
+    * both axes so children nest exactly.
+    */
+  def parentCell(cell: Long, factor: Int): Long = {
+    require(nx % factor == 0 && ny % factor == 0, s"$factor must divide ${nx}x$ny")
+    val cx = cell % nx; val cy = cell / nx
+    (cy / factor) * (nx / factor) + (cx / factor)
+  }
+
+  /** The coarser scheme itself (same extent, nx/f × ny/f). */
+  def coarsen(factor: Int): CellScheme = {
+    require(nx % factor == 0 && ny % factor == 0, s"$factor must divide ${nx}x$ny")
+    CellScheme(extent, nx / factor, ny / factor)
+  }
+
   /** Exactly-once ownership: pair (a, b) is emitted in `cell` iff the
     * bottom-left corner of their intersection falls in `cell`.
     */

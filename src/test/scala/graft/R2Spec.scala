@@ -157,6 +157,38 @@ class R2OpsSpec extends AnyFunSuite {
     assert(Set('x', 'y').contains(SpatialJoins.chooseStripeAxis(a, b, ext, 16)))
   }
 
+  test("parentCell nests children exactly (coarsen == cellOf on the coarse grid)") {
+    val fine = graft.cells.CellScheme(graft.geom.Extent(0, 1000, 0, 1000), 64, 64)
+    val coarse = fine.coarsen(4)
+    val rnd = new scala.util.Random(9)
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextDouble() * 1100 - 50 // include out-of-extent clamping
+      val y = rnd.nextDouble() * 1100 - 50
+      assert(fine.parentCell(fine.cellOf(x, y), 4) == coarse.cellOf(x, y), s"($x,$y)")
+    }
+  }
+
+  test("raster focalSum: interior 3x3 sums and edge clipping vs brute force") {
+    import spark.implicits._
+    val s = graft.cells.CellScheme(graft.geom.Extent(0, 10, 0, 10), 10, 10)
+    // occupied cells from a handful of small rects (degenerate points)
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 200).map { i =>
+      val x = rnd.nextDouble() * 10; val y = rnd.nextDouble() * 10
+      graft.geom.Geom(i, x, x, y, y)
+    }.toDS()
+    val raster = graft.ops.Raster.rasterize(pts, s)
+    val cells = raster.collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val got = graft.ops.Raster.focalSum(raster, s).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case ((cx, cy), v) =>
+      val want = (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield cells.getOrElse((cx + dx, cy + dy), 0L)).sum
+      assert(v == want, s"cell ($cx,$cy)")
+    }
+  }
+
   test("streaming exact dedup == batch distinct content count (AvailableNow)") {
     assume(haveData)
     val batch = spark.read.parquet(s"$sfDir/documents.parquet")
