@@ -35,6 +35,10 @@ object SparkEntry {
     // J6 over points: point-in-polygon
     "spatial_grid_join_pip" -> ((s, dir) =>
       SpatialJoins.gridJoin(customerPoints.load(s, dir), partRects.load(s, dir), grid)),
+    // strategy selector: broadcast below threshold, grid/cogroup above —
+    // picks per-SF (sf0.01 broadcasts the 2k-row side; sf0.1 goes grid)
+    "spatial_auto_join" -> ((s, dir) =>
+      SpatialJoins.intersectJoin(partRects.load(s, dir), ordersRects.load(s, dir))),
     // J5: 1-D stripes plan (n×1 grid), same semantics
     "spatial_stripes_join" -> ((s, dir) =>
       SpatialJoins.stripesJoin(supplierRects.load(s, dir), partRects.load(s, dir), mapExtent, 256)),
@@ -328,6 +332,7 @@ object SparkEntry {
     "spatial_grid_join_pip"  -> joinOracle(customerPoints, partRects),
     "spatial_stripes_join"   -> joinOracle(supplierRects, partRects),
     "spatial_sweep_join"     -> joinOracle(partRects, ordersRects),
+    "spatial_auto_join"      -> joinOracle(partRects, ordersRects),
     "spatial_broadcast_join" -> joinOracle(supplierRects, customerPoints),
     "spatial_extent" ->
       s"""SELECT count(*) AS n,
