@@ -74,6 +74,26 @@ object Bench {
            measured.map(_._2._1), measured.head._2._2)
   }
 
+  /** Dense-cell evidence (reference J2): the declarative grid join's
+    * per-cell loop is quadratic in cell population, the cogroup path's
+    * STR-indexed loop is not — measured at targetPerCell=2048 where the two
+    * plans diverge (they agree at the flagship's tpc=16).
+    */
+  private def denseCell(spark: SparkSession, n: Long): (Double, Double, Long) = {
+    val ext = Extent(0, 10001, 0, 10001)
+    val s = CellScheme.forSize(ext, n, targetPerCell = 2048, maxN = 8192)
+    val a = Workloads.uniformPoints(spark, n, 789, parts = 64).cache()
+    val b = Workloads.uniformPolygons(spark, n, 123, parts = 64).cache()
+    a.count(); b.count()
+    def g() = time { SpatialJoins.gridJoin(a, b, s).count() }
+    def w() = time { SpatialJoins.gridJoinSweep(a, b, s).count() }
+    g(); w() // warm-up
+    val (gs, gr) = g(); val (ws, wr) = w()
+    require(gr == wr, s"dense-cell plans disagree: $gr != $wr")
+    a.unpersist(); b.unpersist()
+    (gs, ws, gr)
+  }
+
   private def headlineSkew(spark: SparkSession, n: Long): (Double, Long) = {
     val ext = Extent(0, 10003, 0, 10003)
     val a = Workloads.gaussianPolygons(spark, n, seed = 1, meanEdge = 2.0, parts = 64).cache()
@@ -110,6 +130,7 @@ object Bench {
     // statistic itself must absorb the sandbox's 2-5× neighbour-load noise
     val (tGenBig, pipBig, resBig, ppBig, resPP) = headline(spark, benchN, runs = 5)
     val (tSkew, resSkew) = headlineSkew(spark, math.max(benchN / 5, 100000L))
+    val (tDenseDecl, tDenseStr, resDense) = denseCell(spark, math.max(benchN / 5, 100000L))
     spark.stop()
     val tJoinBig = pipBig.min
     val tPP = ppBig.min
@@ -144,7 +165,8 @@ object Bench {
       s""""input_rows_per_sec":$rowsPerSec,""" +
       s""""pp_join_sec":$tPP,"pp_samples":${jArr(ppBig)},"pp_results":$resPP,""" +
       s""""pp_result_rows_per_sec":${resPP / tPP},""" +
-      s""""skew_join_sec":$tSkew,"skew_results":$resSkew}"""
+      s""""skew_join_sec":$tSkew,"skew_results":$resSkew,""" +
+      s""""dense_decl_sec":$tDenseDecl,"dense_str_sec":$tDenseStr,"dense_results":$resDense}"""
     val scaling =
       s"""{"cores_n":$nSmall,"cores_4n":$nMid,"join_sec_n":$tJoinSmall,""" +
       s""""join_sec_4n":$tJoinMid,"samples_n":${jArr(pipSmall)},"samples_4n":${jArr(pipMid)},""" +
@@ -183,6 +205,7 @@ object Bench {
          || joined input rows/s @ local[$cpus] | ${f"${rowsPerSec / 1e6}%.2f"} M |
          || Uniform PP ${benchN}×$benchN join / results | ${f"$tPP%.3f"} s / $resPP (${f"${resPP / tPP / 1e6}%.2f"} M results/s) |
          || Gaussian (OSM-like) PP ${math.max(benchN / 5, 100000L)}×same, adaptive join | ${f"$tSkew%.3f"} s / $resSkew results |
+         || Dense cells (tpc=2048): declarative vs cogroup+STR | ${f"$tDenseDecl%.2f"} s vs ${f"$tDenseStr%.2f"} s (same $resDense results) |
          || N→4N scaling (local[$nSmall]→local[$nMid]) | ${f"${tJoinSmall / tJoinMid}%.2f"}× (ideal 4×), efficiency ${f"$eff%.2f"} |
          || 4N→full (local[$nMid]→local[$cpus]) | efficiency ${f"$effWide%.2f"} |
          |
