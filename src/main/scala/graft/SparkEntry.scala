@@ -299,9 +299,12 @@ object SparkEntry {
     }),
   )
 
-  /** Where the golden workload is dumped so DuckDB can re-prove the count. */
+  /** Where the golden workload is dumped so DuckDB can re-prove the count.
+    * Pid-unique: the oracle SQL generated by THIS JVM embeds the same path,
+    * and concurrent runs on one host cannot overwrite each other's dump.
+    */
   val GoldenDumpDir: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_golden_pp"
+    s"${System.getProperty("java.io.tmpdir")}/graft_golden_pp_${ProcessHandle.current().pid()}"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

@@ -38,14 +38,23 @@ object OracleHash {
   def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))
 
   def hash60(bytes: Array[Byte]): Long = {
-    val d = md.get()
-    d.reset()
-    val h = d.digest(bytes)
     var v = 0L
+    val h = md5Bytes(bytes)
     var i = 0
     while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** Raw md5 digest (shared ThreadLocal instance). */
+  def md5Bytes(bytes: Array[Byte]): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
+  /** md5 hex — matches Spark `md5()` and DuckDB `md5()`. */
+  def md5Hex(bytes: Array[Byte]): String =
+    md5Bytes(bytes).map(b => f"$b%02x").mkString
 }
 
 /** Distinct word-k-gram shingle hashes in ONE native pass: tokenize on
@@ -61,7 +70,9 @@ object OracleHash {
   * (production: no MessageDigest cost, loses only the oracle replay).
   */
 object ShingleHashes {
-  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  // exactly RE2's \s = [\t\n\f\r ]: the DuckDB oracle splits with RE2 '\s+';
+  // Java's \s additionally matches vertical tab \x0B, which would diverge
+  private val Ws = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
 
   def shingles(text: UTF8String, k: Int, useHash60: Boolean): ArrayData = {
     // replicate SQL semantics exactly: trim strips ASCII spaces ONLY (Java

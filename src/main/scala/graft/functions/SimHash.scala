@@ -51,7 +51,9 @@ object SimHash {
     }
     while (i < bytes.length) {
       val c = bytes(i)
-      val ws = c == ' ' || c == '\n' || c == '\t' || c == '\r'
+      // exactly RE2's \s = [\t\n\f\r ] (the oracle tokenizes with DuckDB
+      // regexp_split '\s+'); note NO vertical tab — RE2 \s excludes \x0B
+      val ws = c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f'
       if (ws) flush(i) else if (tokStart < 0) tokStart = i
       i += 1
     }

@@ -20,11 +20,15 @@ final class STRTree private (
     childStart: Array[Int], childEnd: Array[Int], leafNode: Array[Boolean],
     root: Int) {
 
+  // reusable traversal stack: trees are task-local (built per cogroup cell),
+  // so probe calls are single-threaded — one buffer serves every probe with
+  // zero per-call allocation. NOT safe to share one tree across threads.
+  private var stack = new Array[Int](32)
+
   /** Visit every item whose MBR intersects the (inclusive) query rect. */
   def foreachIntersecting(qx0: Double, qx1: Double, qy0: Double, qy1: Double)
                          (f: CellGeom => Unit): Unit = {
     if (items.isEmpty) return
-    var stack = new Array[Int](32)
     var top = 0
     stack(top) = root; top += 1
     while (top > 0) {

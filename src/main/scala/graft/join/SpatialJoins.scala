@@ -217,14 +217,17 @@ object SpatialJoins {
     val buildA = as.length <= bs.length
     val tree = STRTree.build(if (buildA) as else bs)
     val probes = if (buildA) bs else as
-    val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
-    probes.foreach { p =>
+    // STREAMING over probes: materializing the whole per-cell pair set would
+    // buffer O(result) Pairs in one task — the per-probe buffer is bounded by
+    // the build side, and the cogroup consumer pulls pairs lazily
+    probes.iterator.flatMap { p =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Pair]
       tree.foreachIntersecting(p.xmin, p.xmax, p.ymin, p.ymax) { g =>
         if (ownsRef(math.max(p.xmin, g.xmin), math.max(p.ymin, g.ymin)))
-          out += (if (buildA) Pair(g.id, p.id) else Pair(p.id, g.id))
+          buf += (if (buildA) Pair(g.id, p.id) else Pair(p.id, g.id))
       }
+      buf
     }
-    out.iterator
   }
 
   /** Plane sweep with a pluggable reference-point ownership test (shared by

@@ -36,16 +36,10 @@ object Multimodal {
     hist
   }
 
-  private val mdDigest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** md5 hex of a blob — matches Spark `md5()` and DuckDB `md5()`. */
-  def md5Hex(bytes: Array[Byte]): String = {
-    val d = mdDigest.get(); d.reset()
-    d.digest(bytes).map(b => f"$b%02x").mkString
-  }
+  /** md5 hex of a blob — delegates to the engine-wide digest plumbing
+    * ([[graft.functions.OracleHash]]) so there is exactly one md5 path.
+    */
+  def md5Hex(bytes: Array[Byte]): String = graft.functions.OracleHash.md5Hex(bytes)
 
   /** Synthesize a media table from the documents table: html-ish bytes as the
     * blob (deterministic), metadata derived from doc_id. Stands in for a real
@@ -53,8 +47,7 @@ object Multimodal {
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"),
-        concat(lit("<html><body>"), col("text"), lit("</body></html>")).as("payload"))
+    docs.select(col("doc_id"), payloadCol.as("payload"))
       .as[(Long, String)]
       .map { case (id, payload) =>
         MediaRow(id, if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",

@@ -136,10 +136,16 @@ object TextOps {
     * you would swap in a rolling hash (same selection logic, cheaper hash).
     */
   def winnowFingerprint(text: String, k: Int = 8, window: Int = 16): Long = {
-    val lt = text.toLowerCase(java.util.Locale.ROOT)
-    if (lt.length < k) return graft.functions.OracleHash.hash60(lt)
-    val n = lt.length - k + 1
-    val hashes = Array.tabulate(n)(i => graft.functions.OracleHash.hash60(lt.substring(i, i + k)))
+    // CODE POINTS, not UTF-16 units: DuckDB len/substr count code points, and
+    // Java String.substring would split surrogate pairs mid-gram. Lowercase
+    // per code point (1:1, like DuckDB's lower) — String.toLowerCase applies
+    // locale multi-char expansions (İ → i̇) that the oracle does not.
+    val cps = text.codePoints().toArray
+    var i = 0
+    while (i < cps.length) { cps(i) = Character.toLowerCase(cps(i)); i += 1 }
+    if (cps.length < k) return graft.functions.OracleHash.hash60(new String(cps, 0, cps.length))
+    val n = cps.length - k + 1
+    val hashes = Array.tabulate(n)(i => graft.functions.OracleHash.hash60(new String(cps, i, k)))
     val win = math.min(window, n)
     // rightmost argmin per window; a position is xored once no matter how
     // many windows select it
@@ -156,7 +162,10 @@ object TextOps {
   }
 
   /** DuckDB SQL replaying [[winnowFingerprint]] over `from(doc_id, text)`:
-    * emits CTEs ending in `wfp(doc_id, winnow_fp)`.
+    * emits CTEs ending in `wfp(doc_id, winnow_fp)`. The `range(0, 16384)`
+    * bounds k-gram CHARACTER positions (not tokens) — documents longer than
+    * 16 384 chars would silently truncate oracle-side; raise it with the
+    * corpus.
     */
   def winnowSql(from: String, k: Int = 8, window: Int = 16): String = {
     val h = graft.functions.OracleHash.hash60Sql(s"substr(lt, i + 1, $k)")
@@ -164,12 +173,12 @@ object TextOps {
        |  SELECT doc_id, lower(text) AS lt, len(lower(text)) AS n FROM $from
        |), kg AS (
        |  SELECT doc_id, i, $h AS h
-       |  FROM wl, range(0, 4096) r(i) WHERE n >= $k AND i <= n - $k
+       |  FROM wl, range(0, 16384) r(i) WHERE n >= $k AND i <= n - $k
        |), kn AS (
        |  SELECT doc_id, count(*) AS nk, least($window, count(*)) AS win
        |  FROM kg GROUP BY 1
        |), wins AS (
-       |  SELECT kn.doc_id, j, win FROM kn, range(0, 4096) r(j) WHERE j <= nk - win
+       |  SELECT kn.doc_id, j, win FROM kn, range(0, 16384) r(j) WHERE j <= nk - win
        |), wm AS (
        |  SELECT w.doc_id, w.j, w.win, min(g.h) AS mn
        |  FROM wins w JOIN kg g ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + w.win - 1

@@ -122,6 +122,8 @@ object Traces {
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           var inPage = 0
           it.foreach { g =>
+            require(g.id == g.id.toInt.toLong,
+              s"binary trace obj_t id is int32; id ${g.id} out of range")
             page.putInt(g.id.toInt)
             page.putFloat(g.xmin.toFloat); page.putFloat(g.xmax.toFloat)
             page.putFloat(g.ymin.toFloat); page.putFloat(g.ymax.toFloat)
