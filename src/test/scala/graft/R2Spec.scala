@@ -42,6 +42,40 @@ class SignatureExprSpec extends AnyFunSuite {
     assert(native == declarative)
   }
 
+  test("tokenizers are RE2-exact: \\f splits, \\x0B does NOT (DuckDB \\s+ semantics)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{ShingleHashes, SimHash}
+    // RE2 \s = [\t\n\f\r ] — vertical tab is NOT whitespace there
+    def shingleSet(t: String) = {
+      val arr = ShingleHashes.shingles(UTF8String.fromString(t), 1, true)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    assert(shingleSet("x\fy") == shingleSet("x y"), "form feed must split")
+    assert(shingleSet("x\u000By").size == 1 &&
+      shingleSet("x\u000By") != shingleSet("x y"), "vertical tab must NOT split")
+    assert(SimHash.hash64(UTF8String.fromString("x\fy"), md5Tokens = true) ==
+      SimHash.hash64(UTF8String.fromString("x y"), md5Tokens = true))
+    assert(SimHash.hash64(UTF8String.fromString("x\u000By"), md5Tokens = true) !=
+      SimHash.hash64(UTF8String.fromString("x y"), md5Tokens = true))
+  }
+
+  test("winnow is code-point based: surrogate pairs and İ do not shift grams") {
+    import graft.ops.TextOps
+    // same text shifted by one astral char: deterministic, no exception, and
+    // the k-grams after the emoji hash identically (code-point indexing)
+    val base = "abcdefghij klmnop qrstuv wxyz0123"
+    val t1 = "𝕊" + base // one astral code point prefix
+    assert(TextOps.winnowFingerprint(t1) == TextOps.winnowFingerprint(t1))
+    // Java String.toLowerCase("İ") expands to 2 chars; per-code-point mapping
+    // must keep length 1 so gram windows align with the oracle's lower()
+    val t2 = "İSTANBUL IS A CITY WITH HISTORY"
+    assert(TextOps.winnowFingerprint(t2) == TextOps.winnowFingerprint(t2))
+    // content sensitivity on a wholly different text (small edits can
+    // legitimately leave the selected window minima unchanged)
+    assert(TextOps.winnowFingerprint(t2) !=
+      TextOps.winnowFingerprint("entirely different words compose this other document"))
+  }
+
   test("MinHashSig == per-permutation array_min chain") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n o p")).toDF("doc_id", "text")
