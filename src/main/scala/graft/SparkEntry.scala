@@ -39,6 +39,10 @@ object SparkEntry {
     // picks per-SF (sf0.01 broadcasts the 2k-row side; sf0.1 goes grid)
     "spatial_auto_join" -> ((s, dir) =>
       SpatialJoins.intersectJoin(partRects.load(s, dir), ordersRects.load(s, dir))),
+    // J9 STP: sort-tile partitioning (data-quantile tile boundaries)
+    "spatial_sorttile_join" -> ((s, dir) =>
+      SpatialJoins.sortTileJoin(partRects.load(s, dir), ordersRects.load(s, dir),
+        mapExtent, 8, 8)),
     // J5: 1-D stripes plan (n×1 grid), same semantics
     "spatial_stripes_join" -> ((s, dir) =>
       SpatialJoins.stripesJoin(supplierRects.load(s, dir), partRects.load(s, dir), mapExtent, 256)),
@@ -336,6 +340,7 @@ object SparkEntry {
     "spatial_stripes_join"   -> joinOracle(supplierRects, partRects),
     "spatial_sweep_join"     -> joinOracle(partRects, ordersRects),
     "spatial_auto_join"      -> joinOracle(partRects, ordersRects),
+    "spatial_sorttile_join"  -> joinOracle(partRects, ordersRects),
     "spatial_broadcast_join" -> joinOracle(supplierRects, customerPoints),
     "spatial_extent" ->
       s"""SELECT count(*) AS n,

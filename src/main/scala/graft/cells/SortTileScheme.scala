@@ -1,0 +1,101 @@
+package graft.cells
+
+import graft.geom.{Extent, Geom}
+import org.apache.spark.sql.Dataset
+
+/** Sort-tile partitioning (the reference's SpatialSpark STP method,
+  * `spark_scripts/PartitionedSpatialJoin.scala:151-165`): tile boundaries
+  * come from the DATA, not a uniform lattice — a sample is cut into `sx`
+  * vertical slabs at x-quantiles, and each slab is cut independently at its
+  * own y-quantiles, so every tile holds ~the same number of sampled objects
+  * even under heavy spatial skew. The classic STR-flavored alternative to
+  * uniform grids and to reactive hot-cell splitting ([[graft.skew.AdaptiveCells]]).
+  *
+  * The scheme is a small broadcastable value (sx + sx·sy doubles); cell
+  * lookups are binary searches over the boundary arrays. Exactly-once output
+  * uses the same reference-point ownership rule as every other scheme here —
+  * a correct partitioner never changes the pair set, which is exactly how the
+  * driver oracle checks it (plain intersect SQL, boundaries never replayed).
+  *
+  * Tile id layout: `slab * sy + tile` (row-major within slab).
+  */
+final case class SortTileScheme(extent: Extent, xBounds: Array[Double],
+                                yBounds: Array[Array[Double]]) {
+  val sx: Int = xBounds.length + 1
+  val sy: Int = yBounds(0).length + 1
+  require(yBounds.length == sx, "one y-boundary vector per slab")
+
+  /** Index of v in a sorted boundary array: #bounds ≤ v (half-open cells,
+    * clamped by construction — index ∈ [0, bounds.length]).
+    */
+  @inline private def slot(bounds: Array[Double], v: Double): Int = {
+    var lo = 0; var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  @inline def slabOf(x: Double): Int = slot(xBounds, x)
+  @inline def tileOf(slab: Int, y: Double): Int = slot(yBounds(slab), y)
+
+  /** Unique owning tile of a point. */
+  def cellOf(x: Double, y: Double): Long = {
+    val s = slabOf(x)
+    s.toLong * sy + tileOf(s, y)
+  }
+
+  /** All tiles overlapped by an MBR (per-slab y-ranges differ — the
+    * replication loop is per slab, unlike the uniform grid's rectangle).
+    */
+  def cellsOf(g: Geom): Seq[Long] = {
+    val s0 = slabOf(g.xmin); val s1 = slabOf(g.xmax)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var s = s0
+    while (s <= s1) {
+      val t0 = tileOf(s, g.ymin); val t1 = tileOf(s, g.ymax)
+      var t = t0
+      while (t <= t1) { out += s.toLong * sy + t; t += 1 }
+      s += 1
+    }
+    out.toSeq
+  }
+}
+
+object SortTileScheme {
+  /** Build boundaries from a deterministic sample of both inputs: sort the
+    * sampled x centers, cut into sx equal-count slabs; within each slab sort
+    * the y centers and cut into sy tiles (`SortTilePartition`'s shape). The
+    * sample is collected — it is bounded (`maxSample`) and the scheme must be
+    * a broadcastable value anyway.
+    */
+  def build(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, sx: Int, sy: Int,
+            sampleFraction: Double = 0.1, maxSample: Int = 100000,
+            seed: Long = 17L): SortTileScheme = {
+    import a.sparkSession.implicits._
+    val pts = a.unionByName(b)
+      .sample(sampleFraction, seed)
+      .select((($"xmin" + $"xmax") / 2).as[Double], (($"ymin" + $"ymax") / 2).as[Double])
+      .head(maxSample)
+    if (pts.isEmpty)
+      return SortTileScheme(extent, Array.tabulate(sx - 1)(i =>
+          extent.xmin + (i + 1) * extent.width / sx),
+        Array.fill(sx)(Array.tabulate(sy - 1)(j => extent.ymin + (j + 1) * extent.height / sy)))
+    val xs = pts.map(_._1).sorted
+    def cuts(sorted: Array[Double], n: Int): Array[Double] =
+      Array.tabulate(n - 1) { i =>
+        sorted(math.min(sorted.length - 1, ((i + 1).toLong * sorted.length / n).toInt))
+      }
+    val xb = cuts(xs, sx)
+    // per-slab y cuts from the same sample
+    val bySlab = Array.fill(sx)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    val probe = SortTileScheme(extent, xb, Array.fill(sx)(Array.empty[Double]))
+    pts.foreach { case (x, y) => bySlab(probe.slabOf(x)) += y }
+    val yb = bySlab.map { ys =>
+      if (ys.isEmpty) Array.tabulate(sy - 1)(j => extent.ymin + (j + 1) * extent.height / sy)
+      else cuts(ys.toArray.sorted, sy)
+    }
+    SortTileScheme(extent, xb, yb)
+  }
+}

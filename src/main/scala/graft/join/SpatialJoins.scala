@@ -347,6 +347,25 @@ object SpatialJoins {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Sort-tile-partitioned join (the reference's SpatialSpark STP method,
+    * `PartitionedSpatialJoin.scala:151-165`): data-quantile tile boundaries
+    * ([[graft.cells.SortTileScheme]]) instead of a uniform lattice — equal
+    * per-tile load under skew by construction rather than by reactive
+    * splitting. Same cogroup + sweep/STR inner loop, same reference-point
+    * exactly-once rule, so the pair set is identical to every other scheme.
+    */
+  def sortTileJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent,
+                   sx: Int, sy: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val scheme = graft.cells.SortTileScheme.build(a, b, extent, sx, sy)
+    def rep(ds: Dataset[Geom]): Dataset[CellGeom] =
+      ds.flatMap(g => scheme.cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
+    rep(a).groupByKey(_.cell).cogroup(rep(b).groupByKey(_.cell)) { (key, as, bs) =>
+      joinCellOwned(as.toArray, bs.toArray, (rx, ry) => scheme.cellOf(rx, ry) == key)
+    }.toDF("a_id", "b_id")
+  }
+
   /** PBSM with adaptive hot-cell refinement (reference J6's quadtree budget
     * rule, see [[graft.skew.AdaptiveCells]]): plan splits from per-cell
     * counts, then one cogroup on the packed two-level key.

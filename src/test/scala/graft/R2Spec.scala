@@ -172,6 +172,28 @@ class R2OpsSpec extends AnyFunSuite {
     assert(got.count { case (id, comp) => id == comp } == 21 - 3 - 1 - 2 - 3)
   }
 
+  test("sortTileJoin == gridJoin pair set on skewed data (STP partitioner)") {
+    import spark.implicits._
+    val ext = graft.geom.Extent(0, 100, 0, 100)
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      // hot corner: quadratic skew
+      val u = rnd.nextDouble(); val v = rnd.nextDouble()
+      val x = u * u * 95; val y = v * v * 95
+      graft.geom.Geom(off + i, x, x + rnd.nextDouble() * 4, y, y + rnd.nextDouble() * 4)
+    }.toDS()
+    val a = mk(400, 0); val b = mk(400, 10000)
+    val grid = SpatialJoins.gridJoin(a, b, graft.cells.CellScheme(ext, 16, 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stp = SpatialJoins.sortTileJoin(a, b, ext, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stp == grid && grid.nonEmpty)
+    // scheme sanity: boundaries are data quantiles, denser near the hot corner
+    val s = graft.cells.SortTileScheme.build(a, b, ext, 4, 4, sampleFraction = 1.0)
+    assert(s.xBounds.length == 3 && s.yBounds.length == 4)
+    assert(s.xBounds(0) < 50.0, s"quantile cut should hug the hot corner: ${s.xBounds.toSeq}")
+  }
+
   test("stripesJoinAuto matches stripesX output and picks a direction") {
     import spark.implicits._
     val ext = graft.geom.Extent(0, 100, 0, 100)
