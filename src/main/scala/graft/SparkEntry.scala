@@ -43,6 +43,10 @@ object SparkEntry {
     "spatial_sorttile_join" -> ((s, dir) =>
       SpatialJoins.sortTileJoin(partRects.load(s, dir), ordersRects.load(s, dir),
         mapExtent, 8, 8)),
+    // J9 BSP: binary-split (kd-tree) partitioning from sampled medians
+    "spatial_bsp_join" -> ((s, dir) =>
+      SpatialJoins.binarySplitJoin(partRects.load(s, dir), ordersRects.load(s, dir),
+        mapExtent, 6)),
     // J5: 1-D stripes plan (n×1 grid), same semantics
     "spatial_stripes_join" -> ((s, dir) =>
       SpatialJoins.stripesJoin(supplierRects.load(s, dir), partRects.load(s, dir), mapExtent, 256)),
@@ -341,6 +345,7 @@ object SparkEntry {
     "spatial_sweep_join"     -> joinOracle(partRects, ordersRects),
     "spatial_auto_join"      -> joinOracle(partRects, ordersRects),
     "spatial_sorttile_join"  -> joinOracle(partRects, ordersRects),
+    "spatial_bsp_join"       -> joinOracle(partRects, ordersRects),
     "spatial_broadcast_join" -> joinOracle(supplierRects, customerPoints),
     "spatial_extent" ->
       s"""SELECT count(*) AS n,

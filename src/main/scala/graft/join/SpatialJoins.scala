@@ -366,6 +366,22 @@ object SpatialJoins {
     }.toDF("a_id", "b_id")
   }
 
+  /** Binary-split-partitioned join (the reference's SpatialSpark BSP method):
+    * kd-tree leaves from sampled medians ([[graft.cells.BinarySplitScheme]]);
+    * same cogroup inner loop and exactly-once rule as every scheme.
+    */
+  def binarySplitJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent,
+                      depth: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val scheme = graft.cells.BinarySplitScheme.build(a, b, extent, depth)
+    def rep(ds: Dataset[Geom]): Dataset[CellGeom] =
+      ds.flatMap(g => scheme.cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
+    rep(a).groupByKey(_.cell).cogroup(rep(b).groupByKey(_.cell)) { (key, as, bs) =>
+      joinCellOwned(as.toArray, bs.toArray, (rx, ry) => scheme.cellOf(rx, ry) == key)
+    }.toDF("a_id", "b_id")
+  }
+
   /** PBSM with adaptive hot-cell refinement (reference J6's quadtree budget
     * rule, see [[graft.skew.AdaptiveCells]]): plan splits from per-cell
     * counts, then one cogroup on the packed two-level key.

@@ -194,6 +194,30 @@ class R2OpsSpec extends AnyFunSuite {
     assert(s.xBounds(0) < 50.0, s"quantile cut should hug the hot corner: ${s.xBounds.toSeq}")
   }
 
+  test("binarySplitJoin == gridJoin pair set; leaves partition the plane") {
+    import spark.implicits._
+    val ext = graft.geom.Extent(0, 100, 0, 100)
+    val rnd = new scala.util.Random(13)
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      val u = rnd.nextDouble(); val x = u * u * 95; val y = rnd.nextDouble() * 95
+      graft.geom.Geom(off + i, x, x + rnd.nextDouble() * 4, y, y + rnd.nextDouble() * 4)
+    }.toDS()
+    val a = mk(300, 0); val b = mk(300, 10000)
+    val grid = SpatialJoins.gridJoin(a, b, graft.cells.CellScheme(ext, 16, 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bsp = SpatialJoins.binarySplitJoin(a, b, ext, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bsp == grid && grid.nonEmpty)
+    // every point owned by exactly one leaf, and the leaf is in cellsOf
+    val s = graft.cells.BinarySplitScheme.build(a, b, ext, 4, sampleFraction = 1.0)
+    (1 to 500).foreach { _ =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+      val c = s.cellOf(x, y)
+      assert(c >= 0 && c < s.numLeaves)
+      assert(s.cellsOf(graft.geom.Geom(0, x, x, y, y)) == Seq(c))
+    }
+  }
+
   test("stripesJoinAuto matches stripesX output and picks a direction") {
     import spark.implicits._
     val ext = graft.geom.Extent(0, 100, 0, 100)
