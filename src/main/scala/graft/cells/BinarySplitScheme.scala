@@ -55,13 +55,8 @@ object BinarySplitScheme {
     * the current point set at the median of its wider spread axis.
     */
   def build(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, depth: Int,
-            sampleFraction: Double = 0.1, maxSample: Int = 100000,
-            seed: Long = 19L): BinarySplitScheme = {
-    import a.sparkSession.implicits._
-    val pts = a.unionByName(b)
-      .sample(sampleFraction, seed)
-      .select((($"xmin" + $"xmax") / 2).as[Double], (($"ymin" + $"ymax") / 2).as[Double])
-      .head(maxSample)
+            maxSample: Int = 100000, seed: Long = 19L): BinarySplitScheme = {
+    val pts = SchemeSampling.centers(a, b, maxSample, seed)
     val nNodes = (1 << depth) - 1
     val axisX = new Array[Boolean](nNodes)
     val at = new Array[Double](nNodes)

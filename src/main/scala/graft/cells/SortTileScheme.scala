@@ -21,9 +21,11 @@ import org.apache.spark.sql.Dataset
   */
 final case class SortTileScheme(extent: Extent, xBounds: Array[Double],
                                 yBounds: Array[Array[Double]]) {
+  require(yBounds.length == xBounds.length + 1, "one y-boundary vector per slab")
+  require(yBounds.forall(_.length == yBounds(0).length),
+    "ragged y-boundaries would collide tile ids across slabs (cell = slab*sy + tile)")
   val sx: Int = xBounds.length + 1
   val sy: Int = yBounds(0).length + 1
-  require(yBounds.length == sx, "one y-boundary vector per slab")
 
   /** Index of v in a sorted boundary array: #bounds ≤ v (half-open cells,
     * clamped by construction — index ∈ [0, bounds.length]).
@@ -63,21 +65,35 @@ final case class SortTileScheme(extent: Extent, xBounds: Array[Double],
   }
 }
 
+/** Shared bounded-uniform center sampling for the data-driven schemes: the
+  * fraction is sized from a count so the expected sample fits `maxSample` —
+  * `sample(f).head(max)` would keep the FIRST partitions' rows and bias the
+  * boundaries spatially on range-partitioned/clustered inputs (exactly the
+  * skew these schemes exist to absorb).
+  */
+private[cells] object SchemeSampling {
+  def centers(a: Dataset[Geom], b: Dataset[Geom], maxSample: Int,
+              seed: Long): Array[(Double, Double)] = {
+    import a.sparkSession.implicits._
+    val u = a.unionByName(b)
+    val n = math.max(1L, u.count())
+    val fraction = math.min(1.0, 1.2 * maxSample / n)
+    u.sample(fraction, seed)
+      .select((($"xmin" + $"xmax") / 2).as[Double], (($"ymin" + $"ymax") / 2).as[Double])
+      .head(maxSample)
+  }
+}
+
 object SortTileScheme {
-  /** Build boundaries from a deterministic sample of both inputs: sort the
+  /** Build boundaries from a bounded uniform sample of both inputs: sort the
     * sampled x centers, cut into sx equal-count slabs; within each slab sort
     * the y centers and cut into sy tiles (`SortTilePartition`'s shape). The
     * sample is collected — it is bounded (`maxSample`) and the scheme must be
     * a broadcastable value anyway.
     */
   def build(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, sx: Int, sy: Int,
-            sampleFraction: Double = 0.1, maxSample: Int = 100000,
-            seed: Long = 17L): SortTileScheme = {
-    import a.sparkSession.implicits._
-    val pts = a.unionByName(b)
-      .sample(sampleFraction, seed)
-      .select((($"xmin" + $"xmax") / 2).as[Double], (($"ymin" + $"ymax") / 2).as[Double])
-      .head(maxSample)
+            maxSample: Int = 100000, seed: Long = 17L): SortTileScheme = {
+    val pts = SchemeSampling.centers(a, b, maxSample, seed)
     if (pts.isEmpty)
       return SortTileScheme(extent, Array.tabulate(sx - 1)(i =>
           extent.xmin + (i + 1) * extent.width / sx),

@@ -175,13 +175,6 @@ object SpatialJoins {
 
   // ---- cogroup + plane-sweep grid PBSM -------------------------------------
 
-  private def replicate(ds: Dataset[Geom], s: CellScheme): Dataset[CellGeom] = {
-    import ds.sparkSession.implicits._
-    ds.flatMap { g =>
-      s.cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax))
-    }
-  }
-
   /** Per-cell plane sweep over ymin-sorted arrays: each intersecting pair is
     * found exactly once (anchored at the rectangle with the smaller ymin),
     * checked for x-overlap and cell ownership. O(n log n + overlaps) per cell
@@ -197,10 +190,6 @@ object SpatialJoins {
     * packed index prunes by BOTH axes at once.
     */
   private[graft] val IndexMinRows = 512
-
-  private[graft] def sweepCell(cell: Long, s: CellScheme,
-                               as: Array[CellGeom], bs: Array[CellGeom]): Iterator[Pair] =
-    joinCellOwned(as, bs, (rx, ry) => s.cellOf(rx, ry) == cell)
 
   /** Dispatch between the sweep and the STR-indexed loop. */
   private[graft] def joinCellOwned(as: Array[CellGeom], bs: Array[CellGeom],
@@ -274,16 +263,26 @@ object SpatialJoins {
     }
   }
 
-  /** PBSM grid join with a typed cogroup + plane-sweep inner loop. */
-  def gridJoinSweep(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
+  /** The ONE cogroup join body shared by every partitioning scheme: replicate
+    * both sides with the scheme's `cellsOf`, cogroup on the cell key, run the
+    * sweep/STR inner loop, keep a pair iff the scheme's `ownerOf` maps its
+    * reference point to this key (exactly-once for any correct scheme).
+    */
+  private[graft] def cogroupSchemeJoin(a: Dataset[Geom], b: Dataset[Geom],
+                                       cellsOf: Geom => Seq[Long],
+                                       ownerOf: (Double, Double) => Long): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
-    val ac = replicate(a, s).groupByKey(_.cell)
-    val bc = replicate(b, s).groupByKey(_.cell)
-    ac.cogroup(bc) { (cell, as, bs) =>
-      sweepCell(cell, s, as.toArray, bs.toArray)
+    def rep(ds: Dataset[Geom]): Dataset[CellGeom] =
+      ds.flatMap(g => cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
+    rep(a).groupByKey(_.cell).cogroup(rep(b).groupByKey(_.cell)) { (key, as, bs) =>
+      joinCellOwned(as.toArray, bs.toArray, (rx, ry) => ownerOf(rx, ry) == key)
     }.toDF("a_id", "b_id")
   }
+
+  /** PBSM grid join with a typed cogroup + plane-sweep/STR inner loop. */
+  def gridJoinSweep(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame =
+    cogroupSchemeJoin(a, b, s.cellsOf, s.cellOf)
 
   /** 1-D stripes plan (reference J5): an `n × 1` grid. */
   def stripesJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame =
@@ -354,33 +353,28 @@ object SpatialJoins {
     * splitting. Same cogroup + sweep/STR inner loop, same reference-point
     * exactly-once rule, so the pair set is identical to every other scheme.
     */
+  def sortTileJoin(a: Dataset[Geom], b: Dataset[Geom],
+                   scheme: graft.cells.SortTileScheme): DataFrame =
+    cogroupSchemeJoin(a, b, scheme.cellsOf, scheme.cellOf)
+
+  /** Convenience: build the scheme from a sample, then join. For benchmarks
+    * or repeated joins build once and call the scheme overload.
+    */
   def sortTileJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent,
-                   sx: Int, sy: Int): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
-    val scheme = graft.cells.SortTileScheme.build(a, b, extent, sx, sy)
-    def rep(ds: Dataset[Geom]): Dataset[CellGeom] =
-      ds.flatMap(g => scheme.cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
-    rep(a).groupByKey(_.cell).cogroup(rep(b).groupByKey(_.cell)) { (key, as, bs) =>
-      joinCellOwned(as.toArray, bs.toArray, (rx, ry) => scheme.cellOf(rx, ry) == key)
-    }.toDF("a_id", "b_id")
-  }
+                   sx: Int, sy: Int): DataFrame =
+    sortTileJoin(a, b, graft.cells.SortTileScheme.build(a, b, extent, sx, sy))
 
   /** Binary-split-partitioned join (the reference's SpatialSpark BSP method):
     * kd-tree leaves from sampled medians ([[graft.cells.BinarySplitScheme]]);
     * same cogroup inner loop and exactly-once rule as every scheme.
     */
+  def binarySplitJoin(a: Dataset[Geom], b: Dataset[Geom],
+                      scheme: graft.cells.BinarySplitScheme): DataFrame =
+    cogroupSchemeJoin(a, b, scheme.cellsOf, scheme.cellOf)
+
   def binarySplitJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent,
-                      depth: Int): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
-    val scheme = graft.cells.BinarySplitScheme.build(a, b, extent, depth)
-    def rep(ds: Dataset[Geom]): Dataset[CellGeom] =
-      ds.flatMap(g => scheme.cellsOf(g).map(c => CellGeom(c, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
-    rep(a).groupByKey(_.cell).cogroup(rep(b).groupByKey(_.cell)) { (key, as, bs) =>
-      joinCellOwned(as.toArray, bs.toArray, (rx, ry) => scheme.cellOf(rx, ry) == key)
-    }.toDF("a_id", "b_id")
-  }
+                      depth: Int): DataFrame =
+    binarySplitJoin(a, b, graft.cells.BinarySplitScheme.build(a, b, extent, depth))
 
   /** PBSM with adaptive hot-cell refinement (reference J6's quadtree budget
     * rule, see [[graft.skew.AdaptiveCells]]): plan splits from per-cell
@@ -388,15 +382,8 @@ object SpatialJoins {
     */
   def gridJoinAdaptive(a: Dataset[Geom], b: Dataset[Geom], base: CellScheme,
                        budgetPairs: Long = 4L * 1024 * 1024): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
     val scheme = graft.skew.AdaptiveCells.plan(a, b, base, budgetPairs)
-    def replicateKeys(ds: Dataset[Geom]): Dataset[CellGeom] =
-      ds.flatMap(g => scheme.keysOf(g).map(k => CellGeom(k, g.id, g.xmin, g.xmax, g.ymin, g.ymax)))
-    replicateKeys(a).groupByKey(_.cell).cogroup(replicateKeys(b).groupByKey(_.cell)) {
-      (key, as, bs) =>
-        joinCellOwned(as.toArray, bs.toArray, (rx, ry) => scheme.ownerKey(rx, ry) == key)
-    }.toDF("a_id", "b_id")
+    cogroupSchemeJoin(a, b, scheme.keysOf, scheme.ownerKey)
   }
 
   // ---- distance join --------------------------------------------------------

@@ -59,19 +59,28 @@ class SignatureExprSpec extends AnyFunSuite {
       SimHash.hash64(UTF8String.fromString("x y"), md5Tokens = true))
   }
 
-  test("winnow is code-point based: surrogate pairs and İ do not shift grams") {
+  test("winnow is code-point based: matches an independent code-point reference") {
     import graft.ops.TextOps
-    // same text shifted by one astral char: deterministic, no exception, and
-    // the k-grams after the emoji hash identically (code-point indexing)
-    val base = "abcdefghij klmnop qrstuv wxyz0123"
-    val t1 = "𝕊" + base // one astral code point prefix
-    assert(TextOps.winnowFingerprint(t1) == TextOps.winnowFingerprint(t1))
-    // Java String.toLowerCase("İ") expands to 2 chars; per-code-point mapping
-    // must keep length 1 so gram windows align with the oracle's lower()
-    val t2 = "İSTANBUL IS A CITY WITH HISTORY"
-    assert(TextOps.winnowFingerprint(t2) == TextOps.winnowFingerprint(t2))
-    // content sensitivity on a wholly different text (small edits can
-    // legitimately leave the selected window minima unchanged)
+    // independent reimplementation over code points with 1:1 lowercase —
+    // would DIVERGE if winnowFingerprint regressed to UTF-16 charAt indexing
+    // (grams shifting after an astral char) or locale toLowerCase (İ → 2 chars)
+    def reference(text: String, k: Int = 8, window: Int = 16): Long = {
+      val cps = text.codePoints().toArray.map(Character.toLowerCase)
+      if (cps.length < k) return OracleHash.hash60(new String(cps, 0, cps.length))
+      val n = cps.length - k + 1
+      val hs = Array.tabulate(n)(i => OracleHash.hash60(new String(cps, i, k)))
+      val win = math.min(window, n)
+      val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+      for (j <- 0 to n - win)
+        sel += (j until j + win).maxBy(i => (hs(i) == (j until j + win).map(hs).min, i))
+      sel.foldLeft(0L)((acc, p) => acc ^ hs(p))
+    }
+    val t1 = "𝕊" + "abcdefghij klmnop qrstuv wxyz0123" // astral prefix
+    val t2 = "İSTANBUL IS A CITY WITH HISTORY"        // 1:1 lowercase case
+    val t3 = "plain ascii body with several words in it"
+    Seq(t1, t2, t3).foreach { t =>
+      assert(TextOps.winnowFingerprint(t) == reference(t), t)
+    }
     assert(TextOps.winnowFingerprint(t2) !=
       TextOps.winnowFingerprint("entirely different words compose this other document"))
   }
@@ -189,7 +198,7 @@ class R2OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stp == grid && grid.nonEmpty)
     // scheme sanity: boundaries are data quantiles, denser near the hot corner
-    val s = graft.cells.SortTileScheme.build(a, b, ext, 4, 4, sampleFraction = 1.0)
+    val s = graft.cells.SortTileScheme.build(a, b, ext, 4, 4)
     assert(s.xBounds.length == 3 && s.yBounds.length == 4)
     assert(s.xBounds(0) < 50.0, s"quantile cut should hug the hot corner: ${s.xBounds.toSeq}")
   }
@@ -209,7 +218,7 @@ class R2OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bsp == grid && grid.nonEmpty)
     // every point owned by exactly one leaf, and the leaf is in cellsOf
-    val s = graft.cells.BinarySplitScheme.build(a, b, ext, 4, sampleFraction = 1.0)
+    val s = graft.cells.BinarySplitScheme.build(a, b, ext, 4)
     (1 to 500).foreach { _ =>
       val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
       val c = s.cellOf(x, y)
