@@ -179,6 +179,9 @@ object SparkEntry {
     "events_window_agg" -> ((s, dir) =>
       graft.streaming.EventsStream.windowedCounts(
         s.read.parquet(s"$dir/events.parquet"))),
+    "events_sliding_agg" -> ((s, dir) =>
+      graft.streaming.EventsStream.slidingCounts(
+        s.read.parquet(s"$dir/events.parquet"))),
     // tile assignments (north rule: "emit identical tile assignments"):
     // the full id -> cell replication set of the a-side
     "spatial_tile_assignments" -> ((s, dir) =>
@@ -447,6 +450,7 @@ object SparkEntry {
         s"ON $px >= b.xmin AND $px <= b.xmax AND $py >= b.ymin AND $py <= b.ymax"
     },
     "events_window_agg" -> graft.streaming.EventsStream.windowedCountsSql,
+    "events_sliding_agg" -> graft.streaming.EventsStream.slidingCountsSql,
     "spatial_sql_join"  -> joinOracle(partRects, ordersRects),
     "spatial_sql_within_join" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +

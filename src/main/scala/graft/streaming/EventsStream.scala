@@ -34,6 +34,31 @@ object EventsStream {
       | count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", "")
 
+  /** 10-minute windows sliding every 5: each event lands in exactly two
+    * windows (the tumbling assignment and the one 5 minutes earlier) — the
+    * overlapping-window flavor of [[windowedCounts]], same batch/stream
+    * duality.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").cast("timestamp").cast("long").as("window_s"),
+              col("event_type"), col("n"), col("value_cents"))
+
+  /** DuckDB oracle: replicate each event into its two window starts. */
+  val slidingCountsSql: String =
+    """SELECT ws AS window_s, event_type, count(*) AS n,
+      | CAST(sum(cents) AS BIGINT) AS value_cents FROM (
+      |  SELECT (epoch_us(ts) // 300000000) * 300 AS ws, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      |  UNION ALL
+      |  SELECT (epoch_us(ts) // 300000000) * 300 - 300, event_type,
+      |         CAST(round(value * 100) AS BIGINT) FROM events
+      |) GROUP BY 1, 2""".stripMargin.replace("\n", "")
+
   /** Per-user sessionization with a custom state machine
     * (`flatMapGroupsWithState`): emits a session row when a user is idle
     * longer than `gapMinutes`. The stateful-streaming surface of the engine.
