@@ -449,7 +449,11 @@ object SpatialJoins {
       val last = r >= 2 * diag
       val s = CellScheme.forSize(extent, bCount, targetPerCell = 512L,
         maxN = math.max(1, math.min(4096, (extent.width / math.max(r, 1e-9)).toInt)))
+      // the candidate frame feeds THREE consumers per round (rank window,
+      // resolved-count agg, anti-join) — persist it once or the distance
+      // join recomputes per consumer
       val cand = distanceJoin(remaining, bCached, s, r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy(col("a_id")).orderBy(col("dist"), col("b_id"))
       val ranked = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       val resolvedIds =
@@ -463,6 +467,7 @@ object SpatialJoins {
       remaining = if (last) spark.emptyDataset[Geom]
                   else remaining.join(resolvedIds, remaining("id") === resolvedIds("a_id"), "left_anti")
                     .as[Geom].localCheckpoint()
+      cand.unpersist() // both checkpoints above are eager — safe to drop
       r *= 2; iter += 1
     }
     bCached.unpersist()
