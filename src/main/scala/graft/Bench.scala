@@ -96,28 +96,33 @@ object Bench {
 
   /** Skewed gaussian workload through all four partitioner families —
     * adaptive-split grid (the headline skew number), plain grid, sort-tile
-    * (STP), binary-split (BSP). Identical result counts are asserted; times
-    * land in the JSON so the partitioner comparison is a per-round artifact.
+    * (STP), binary-split (BSP). Same protocol as the headline: one warm pass
+    * of EVERY variant first (no family absorbs codegen/JIT for the others),
+    * then interleaved min-of-2. A count divergence is REPORTED (countsMatch
+    * flag), never thrown — this bench runs once per round and an abort would
+    * zero the whole artifact.
     */
   private def headlineSkew(spark: SparkSession, n: Long)
-      : (Double, Long, Double, Double, Double) = {
+      : (Double, Long, Double, Double, Double, Boolean) = {
     val ext = Extent(0, 10003, 0, 10003)
     val a = Workloads.gaussianPolygons(spark, n, seed = 1, meanEdge = 2.0, parts = 64).cache()
     val b = Workloads.gaussianPolygons(spark, n, seed = 2, meanEdge = 2.0, parts = 64).cache()
     a.count(); b.count()
     val base = CellScheme.forSize(ext, n, targetPerCell = 256, maxN = 2048)
-    val (t, res) = time {
-      SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 1L << 22).count()
-    }
-    val (tGrid, resGrid) = time { SpatialJoins.gridJoin(a, b, base).count() }
     val stpScheme = graft.cells.SortTileScheme.build(a, b, ext, 24, 24)
-    val (tStp, resStp) = time { SpatialJoins.sortTileJoin(a, b, stpScheme).count() }
     val bspScheme = graft.cells.BinarySplitScheme.build(a, b, ext, 9)
-    val (tBsp, resBsp) = time { SpatialJoins.binarySplitJoin(a, b, bspScheme).count() }
-    require(res == resGrid && res == resStp && res == resBsp,
-      s"partitioners disagree: $res / $resGrid / $resStp / $resBsp")
+    def adaptive() = time { SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 1L << 22).count() }
+    def grid() = time { SpatialJoins.gridJoin(a, b, base).count() }
+    def stp() = time { SpatialJoins.sortTileJoin(a, b, stpScheme).count() }
+    def bsp() = time { SpatialJoins.binarySplitJoin(a, b, bspScheme).count() }
+    val variants = Seq(adaptive _, grid _, stp _, bsp _)
+    variants.foreach(_.apply()) // warm every family before timing any
+    val rounds = Seq.fill(2)(variants.map(_.apply()))
+    def best(i: Int) = rounds.map(_(i)._1).min
+    val counts = rounds.head.map(_._2)
+    val countsMatch = counts.forall(_ == counts.head)
     a.unpersist(); b.unpersist()
-    (t, res, tGrid, tStp, tBsp)
+    (best(0), counts.head, best(1), best(2), best(3), countsMatch)
   }
 
   private def jArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
@@ -142,7 +147,7 @@ object Bench {
     // interleaved min-of-5: the driver runs this bench exactly once, so the
     // statistic itself must absorb the sandbox's 2-5× neighbour-load noise
     val (tGenBig, pipBig, resBig, ppBig, resPP) = headline(spark, benchN, runs = 5)
-    val (tSkew, resSkew, tSkewGrid, tSkewStp, tSkewBsp) =
+    val (tSkew, resSkew, tSkewGrid, tSkewStp, tSkewBsp, skewCountsMatch) =
       headlineSkew(spark, math.max(benchN / 5, 100000L))
     val (tDenseDecl, tDenseStr, resDense) = denseCell(spark, math.max(benchN / 5, 100000L))
     spark.stop()
@@ -181,6 +186,7 @@ object Bench {
       s""""pp_result_rows_per_sec":${resPP / tPP},""" +
       s""""skew_join_sec":$tSkew,"skew_results":$resSkew,""" +
       s""""skew_grid_sec":$tSkewGrid,"skew_stp_sec":$tSkewStp,"skew_bsp_sec":$tSkewBsp,""" +
+      s""""skew_counts_match":$skewCountsMatch,""" +
       s""""dense_decl_sec":$tDenseDecl,"dense_str_sec":$tDenseStr,"dense_results":$resDense}"""
     val scaling =
       s"""{"cores_n":$nSmall,"cores_4n":$nMid,"join_sec_n":$tJoinSmall,""" +
@@ -220,7 +226,7 @@ object Bench {
          || joined input rows/s @ local[$cpus] | ${f"${rowsPerSec / 1e6}%.2f"} M |
          || Uniform PP ${benchN}×$benchN join / results | ${f"$tPP%.3f"} s / $resPP (${f"${resPP / tPP / 1e6}%.2f"} M results/s) |
          || Gaussian (OSM-like) PP ${math.max(benchN / 5, 100000L)}×same, adaptive join | ${f"$tSkew%.3f"} s / $resSkew results |
-         || same skew via plain grid / sort-tile (STP) / binary-split (BSP) | ${f"$tSkewGrid%.2f"} / ${f"$tSkewStp%.2f"} / ${f"$tSkewBsp%.2f"} s (identical counts; STP/BSP scheme build excluded, adaptive's planning pass included) |
+         || same skew via plain grid / sort-tile (STP) / binary-split (BSP) | ${f"$tSkewGrid%.2f"} / ${f"$tSkewStp%.2f"} / ${f"$tSkewBsp%.2f"} s (counts match: $skewCountsMatch; warmed, interleaved min-of-2; STP/BSP scheme build excluded, adaptive's planning pass included) |
          || Dense cells (tpc=2048): declarative vs cogroup+STR | ${f"$tDenseDecl%.2f"} s vs ${f"$tDenseStr%.2f"} s (same $resDense results) |
          || N→4N scaling (local[$nSmall]→local[$nMid]) | ${f"${tJoinSmall / tJoinMid}%.2f"}× (ideal 4×), efficiency ${f"$eff%.2f"} |
          || 4N→full (local[$nMid]→local[$cpus]) | efficiency ${f"$effWide%.2f"} |

@@ -16,18 +16,23 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** 5-minute tumbling windows per event type; sums in integer cents so the
-    * DuckDB oracle is fp-exact. Works on both batch and streaming frames
-    * (`withWatermark` is a no-op in batch).
+  /** Shared window-agg body (tumbling and sliding differ only in the window
+    * expression): counts + integer-cent sums so the DuckDB oracle is
+    * fp-exact. Works on both batch and streaming frames (`withWatermark` is
+    * a no-op in batch).
     */
-  def windowedCounts(events: DataFrame): DataFrame =
+  private def windowAgg(events: DataFrame, win: org.apache.spark.sql.Column): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("window.start").cast("timestamp").cast("long").as("window_s"),
               col("event_type"), col("n"), col("value_cents"))
+
+  /** 5-minute tumbling windows per event type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    windowAgg(events, window(col("ts"), "5 minutes"))
 
   val windowedCountsSql: String =
     """SELECT (epoch_us(ts) // 300000000) * 300 AS window_s, event_type,
@@ -40,13 +45,7 @@ object EventsStream {
     * duality.
     */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .select(col("window.start").cast("timestamp").cast("long").as("window_s"),
-              col("event_type"), col("n"), col("value_cents"))
+    windowAgg(events, window(col("ts"), "10 minutes", "5 minutes"))
 
   /** DuckDB oracle: replicate each event into its two window starts. */
   val slidingCountsSql: String =

@@ -278,6 +278,25 @@ class R2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("slidingCounts: streaming == batch (AvailableNow memory sink)") {
+    assume(haveData)
+    import graft.streaming.EventsStream
+    val batch = EventsStream.slidingCounts(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val q = EventsStream.slidingCounts(EventsStream.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming exact dedup == batch distinct content count (AvailableNow)") {
     assume(haveData)
     val batch = spark.read.parquet(s"$sfDir/documents.parquet")
