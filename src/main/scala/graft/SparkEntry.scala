@@ -202,6 +202,28 @@ object SparkEntry {
             .as("parent_cell"))
         .distinct()
     }),
+    // Z-order (Morton) keys over the tile assignments — the storage-layout
+    // sort key that clusters spatially-near cells into the same files
+    "spatial_zorder_keys" -> ((s, dir) => {
+      val zBits = (0 until 16).map { b =>
+        shiftleft(shiftrightunsigned(col("cx"), b).bitwiseAND(lit(1L)), 2 * b)
+          .bitwiseOR(shiftleft(shiftrightunsigned(col("cy"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+      }.reduce(_ bitwiseOR _)
+      SpatialJoins.withCells(
+          partRects.load(s, dir).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax"),
+          grid, "a")
+        .select(col("a_id").as("id"), col("cell"),
+          (col("cell") % grid.nx).as("cx"), expr(s"cell DIV ${grid.nx}").as("cy"))
+        .select(col("id"), col("cell"), zBits.as("z"))
+    }),
+    // per-host web stats over the synthesized page table (URL parsing —
+    // the host-level aggregation every crawl pipeline runs)
+    "pages_host_stats" -> ((s, dir) => {
+      val pages = graft.pipeline.Pages.pagesFromDocuments(docs(s, dir))
+      pages.select(regexp_extract(col("url"), "://([^/]+)", 1).as("host"), col("doc_id"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_doc"))
+    }),
     // composed training-data pipeline: quality filter -> exact dedup -> lang
     // filter, returning surviving doc ids (the canonical corpus-clean chain)
     "corpus_clean" -> ((s, dir) => {
@@ -374,6 +396,13 @@ object SparkEntry {
     "spatial_tile_coarsen" ->
       (s"SELECT DISTINCT id, ((cell // ${grid.nx}) // 4) * ${grid.nx / 4} + " +
         s"((cell % ${grid.nx}) // 4) AS parent_cell FROM (${cellRepSql(partRects)})"),
+    "spatial_zorder_keys" ->
+      (s"SELECT id, cell, CAST(sum((((cell % ${grid.nx}) >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b)) + " +
+        s"(((cell // ${grid.nx}) >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))) AS BIGINT) AS z " +
+        s"FROM (${cellRepSql(partRects)}), range(0, 16) r(b) GROUP BY 1, 2"),
+    "pages_host_stats" ->
+      ("SELECT regexp_extract('https://host-' || (doc_id % 100) || '.example/p/' || doc_id, '://([^/]+)', 1) AS host, " +
+        "count(*) AS n_pages, min(doc_id) AS min_doc FROM documents GROUP BY 1"),
     "raster_coverage" -> coverageSql(partRects),
     "corpus_clean" ->
       (s"SELECT min(doc_id) AS doc_id FROM documents " +
