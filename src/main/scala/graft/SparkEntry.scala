@@ -139,6 +139,16 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e, 5, 64)
     }),
+    // multi-probe LSH (1-bit bucket flips: recall knob without index growth)
+    "embed_lsh_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopKMultiProbe(e.filter(col("vec_id") < 20), e, 5, 64)
+    }),
+    // deterministic hash-based corpus downsampling (reproducible 30% sample
+    // — the split every training-data pipeline needs to be restart-stable)
+    "corpus_sample" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"))
+        .filter(pmod(graft.functions.OracleHash.hash60(col("doc_id").cast("string")), lit(100L)) < 30)),
     // IVF inverted-list ANN (coarse-quantizer buckets + nProbe re-rank)
     "embed_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -453,6 +463,10 @@ object SparkEntry {
     "embed_topk"    -> Similarity.bruteForceTopKSql(20, 5, 64),
     "embed_lsh_topk" -> Similarity.lshTopKSql(20, 5, 64),
     "embed_ivf_topk" -> Similarity.ivfTopKSql(20, 5, 64),
+    "embed_lsh_multiprobe" -> Similarity.lshTopKMultiProbeSql(20, 5, 64),
+    "corpus_sample" ->
+      (s"SELECT doc_id FROM documents WHERE " +
+        s"${graft.functions.OracleHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 30"),
     "embed_neardup" -> Similarity.cosineNearDupSql(950, 64),
     "spatial_golden_uniform_pp" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM read_parquet('$GoldenDumpDir/a/*.parquet') a " +

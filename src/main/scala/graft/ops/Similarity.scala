@@ -98,17 +98,61 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
   }
 
-  /** DuckDB oracle replaying [[lshTopK]] end-to-end: the seeded hyperplanes
-    * are spliced in as a VALUES literal (`planes(pl, i, w)`, `i` 1-based to
-    * match DuckDB list indexing), sign bits packed per band exactly like the
-    * native expression.
+  /** Multi-probe variant of [[lshTopK]]: each query additionally probes the
+    * buckets at Hamming distance 1 from its band piece (flip one sign bit
+    * per probe) — the standard recall knob that multiplies candidate
+    * coverage by (1 + rowsPerBand) WITHOUT growing the table-side index
+    * (the corpus stays bucketed exactly once; only query fan-out grows).
     */
-  def lshTopKSql(nQueries: Int, k: Int, dim: Int,
-                 numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): String = {
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                        numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val rowsPerBand = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim, seed)
+    def banded(df: DataFrame, idName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
+          posexplode(graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand)))
+        .toDF(idName, s"${idName}_emb", "band", "piece")
+    // query side fans out to the exact piece plus its 1-bit flips
+    val qb = banded(queries, "q_id")
+      .withColumn("flip", explode(array((-1 until rowsPerBand).map(lit(_)): _*)))
+      // dynamic shift distance needs the SQL form (the Scala shiftleft
+      // builder only takes a literal Int bit count)
+      .withColumn("piece",
+        expr("CASE WHEN flip < 0 THEN piece ELSE piece ^ shiftleft(CAST(1 AS BIGINT), flip) END"))
+      .drop("flip")
+    val cb = banded(corpus, "c_id")
+    val cand = qb.join(cb, Seq("band", "piece"))
+      .select(col("q_id"), col("c_id"), col("q_id_emb"), col("c_id_emb")).distinct()
+    val scored = cand.select(col("q_id"), col("c_id"),
+      qdot(col("q_id_emb"), col("c_id_emb")).as("dot"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB oracle replaying [[lshTopK]] / [[lshTopKMultiProbe]] end-to-end:
+    * the seeded hyperplanes are spliced in as a VALUES literal
+    * (`planes(pl, i, w)`, `i` 1-based to match DuckDB list indexing), sign
+    * bits packed per band exactly like the native expression; multi-probe
+    * expands query pieces through the same 1-bit flips.
+    */
+  private def lshSqlBody(nQueries: Int, k: Int, dim: Int, numPlanes: Int,
+                         bands: Int, seed: Long, multiProbe: Boolean): String = {
     val rowsPerBand = numPlanes / bands
     val planes = hyperplanes(numPlanes, dim, seed)
     val planeRows = (for (pl <- 0 until numPlanes; i <- 0 until dim)
       yield s"($pl, ${i + 1}, ${planes(pl * dim + i)})").mkString(", ")
+    val qprobe =
+      if (!multiProbe)
+        s"qprobe AS ( SELECT vec_id, band, piece FROM sig WHERE vec_id < $nQueries )"
+      else
+        s"""qprobe AS (
+           |  SELECT vec_id, band,
+           |         CASE WHEN f < 0 THEN piece
+           |              ELSE CAST(xor(piece, (CAST(1 AS BIGINT) << f)) AS BIGINT) END AS piece
+           |  FROM sig, range(-1, $rowsPerBand) r(f) WHERE vec_id < $nQueries
+           |)""".stripMargin
     s"""WITH planes(pl, i, w) AS (VALUES $planeRows),
        |ev AS (
        |  SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS x
@@ -120,10 +164,9 @@ object Similarity {
        |  SELECT vec_id, pl // $rowsPerBand AS band,
        |         CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (pl % $rowsPerBand)) ELSE 0 END) AS BIGINT) AS piece
        |  FROM dotsig GROUP BY 1, 2
-       |), cand AS (
+       |), $qprobe, cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-       |  FROM sig q JOIN sig c ON q.band = c.band AND q.piece = c.piece
-       |  WHERE q.vec_id < $nQueries
+       |  FROM qprobe q JOIN sig c ON q.band = c.band AND q.piece = c.piece
        |), dots AS (
        |  SELECT cand.q_id, cand.c_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
        |  FROM cand JOIN ev a ON a.vec_id = cand.q_id
@@ -136,6 +179,14 @@ object Similarity {
        |  FROM dots
        |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
   }
+
+  def lshTopKSql(nQueries: Int, k: Int, dim: Int,
+                 numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): String =
+    lshSqlBody(nQueries, k, dim, numPlanes, bands, seed, multiProbe = false)
+
+  def lshTopKMultiProbeSql(nQueries: Int, k: Int, dim: Int,
+                           numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L): String =
+    lshSqlBody(nQueries, k, dim, numPlanes, bands, seed, multiProbe = true)
 
   /** IVF-style ANN (the second scale path besides [[lshTopK]]): a small
     * coarse-quantizer table of `nCentroids` vectors partitions the corpus
