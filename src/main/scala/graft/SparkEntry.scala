@@ -176,6 +176,9 @@ object SparkEntry {
     // fixed-stride frame sampling + per-frame fingerprint over the payload
     "media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(docs(s, dir), Multimodal.payloadCol)),
+    // stride "resize" plumbing (nearest-neighbor downsample shape)
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resizeStride(docs(s, dir), Multimodal.payloadCol)),
     "media_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col => c}
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
@@ -477,6 +480,7 @@ object SparkEntry {
       (s"WITH ${graft.functions.SimHash.simhash60Sql("documents")}, ${TextOps.winnowSql("documents")} " +
         "SELECT s.doc_id, s.f AS simhash, w.winnow_fp FROM shfp s JOIN wfp w ON w.doc_id = s.doc_id"),
     "media_frames" -> Multimodal.sampleFramesSql(),
+    "media_resize" -> Multimodal.resizeStrideSql(),
     "media_features" -> {
       val payload = Multimodal.payloadSql
       s"SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +

@@ -75,6 +75,28 @@ object Multimodal {
         col("col").as("frame_md5"))
   }
 
+  /** Declarative "resize" plumbing: nearest-neighbor downsampling by a fixed
+    * stride over the opaque payload (every `stride`-th unit survives) —
+    * the schema/batch shape of a real image resize, with the interpolation
+    * left to the codec seam. Output: surviving-unit count + md5 of the
+    * downsampled payload, both DuckDB-replayable.
+    */
+  def resizeStride(docs: DataFrame, payload: Column, stride: Int = 7): DataFrame = {
+    val nOut = ((length(payload) + stride - 1) / stride).cast("long")
+    val idxs = when(nOut > 0, sequence(lit(0L), nOut - 1))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col("doc_id"), nOut.as("n_out"),
+      md5(concat_ws("", transform(idxs,
+        i => payload.substr((i.cast("int") * stride) + 1, lit(1)))).cast("binary")).as("resized_md5"))
+  }
+
+  /** DuckDB oracle for [[resizeStride]] over the documents table. */
+  def resizeStrideSql(stride: Int = 7): String =
+    s"""SELECT doc_id, CAST(ceil(len(p) / ${stride}.0) AS BIGINT) AS n_out,
+       |  md5(coalesce((SELECT string_agg(substr(p, CAST(i * $stride + 1 AS INT), 1), '' ORDER BY i)
+       |                FROM range(0, 16384) r(i) WHERE i < ceil(len(p) / ${stride}.0)), '')) AS resized_md5
+       |FROM (SELECT doc_id, $payloadSql AS p FROM documents)""".stripMargin.replace("\n", " ")
+
   /** The synthesized html payload as a string column (see
     * [[mediaFromDocuments]]) — shared by the query and the oracle generator.
     */
