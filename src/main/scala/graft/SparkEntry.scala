@@ -119,7 +119,10 @@ object SparkEntry {
 
     // ---- training-data pipeline operators --------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
-    "dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 3, 1, 2)),
+    // size-routed: plain shingle join below 64 MB of text, PPJoin prefix
+    // filter above (the scale-safe default — r2 verdict item 2); identical
+    // output either way, and the choice reads Catalyst stats (no scan)
+    "dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairsAuto(docs(s, dir), 3, 1, 2)),
     // AllPairs/PPJoin prefix-filtered variant — identical output, candidate
     // set cut to rare-prefix collisions (the web-scale Jaccard plan)
     "dedup_jaccard_prefix" -> ((s, dir) => Dedup.jaccardPairsPrefix(docs(s, dir), 3, 1, 2)),
@@ -129,7 +132,7 @@ object SparkEntry {
     // transitive survivors: min-id connected components over jaccard pairs
     "dedup_survivors" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.connectedComponents(d, Dedup.jaccardPairs(d, 3, 1, 2))
+      Dedup.connectedComponents(d, Dedup.jaccardPairsAuto(d, 3, 1, 2))
     }),
     "embed_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -155,10 +158,17 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, 5, 64)
     }),
     // LSH-banded candidates + exact integer-cosine verify over planted
-    // near-dups (threshold 0.95 — the near-dup regime where banding has
-    // ~1-recall; the exact all-pairs form is the oracle + sbt cross-check)
+    // near-dups. The driver gate compares against the EXACT all-pairs oracle,
+    // so banding recall must hold even for unplanted pairs sitting AT the
+    // 0.95 threshold boundary: 16 bands × 12 bits gives per-pair recall
+    // 1-(1-p^12)^16 ≈ 0.995 at cosine exactly 0.95 (p = 1-acos(c)/π) and
+    // ≥ 0.998 above 0.96 — vs ~0.09 at the boundary for the web-scale
+    // default (12×16). The trade is candidate volume (n²·16/2¹² for
+    // unrelated pairs vs n²·12/2¹⁶); at true corpus scale prefer the
+    // default banding + multi-probe and accept boundary-recall < 1.
     "embed_neardup" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(Similarity.withPlantedDups(embs(s, dir)), 950, 64)),
+      Similarity.lshNearDupPairs(Similarity.withPlantedDups(embs(s, dir)), 950, 64,
+        bands = 16, rowsPerBand = 12)),
     "text_quality" -> ((s, dir) =>
       TextOps.qualityMetrics(docs(s, dir).select("doc_id", "text"), col("text")).drop("text")),
     "text_lang_id" -> ((s, dir) =>

@@ -42,7 +42,9 @@ object TextOps {
     val len    = length(text).cast("long")
     val alpha  = len - length(regexp_replace(text, "[A-Za-z]", ""))
     val spaces = len - length(regexp_replace(text, " ", ""))
-    val punct  = len - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    // whitespace spelled out (not \s): Java \s includes vertical tab \x0B,
+    // RE2/DuckDB \s does not — a \x0B document would diverge from the oracle
+    val punct  = len - length(regexp_replace(text, "[^A-Za-z0-9 \\t\\n\\f\\r]", ""))
     val toks   = tokenCount(text)
     val stops  = size(regexp_extract_all(text, lit(StopwordPattern), lit(0))).cast("long")
     df.withColumn("n_chars", len)
@@ -63,7 +65,7 @@ object TextOps {
     val len    = "CAST(length(text) AS BIGINT)"
     val alpha  = s"($len - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
     val spaces = s"($len - length(regexp_replace(text, ' ', '', 'g')))"
-    val punct  = s"($len - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+    val punct  = s"($len - length(regexp_replace(text, '[^A-Za-z0-9 \\t\\n\\f\\r]', '', 'g')))"
     val toks   = tokenCountSql
     val stops  = s"CAST(len(regexp_extract_all(text, '$StopwordPattern')) AS BIGINT)"
     s"""SELECT doc_id, $len AS n_chars, $toks AS n_tokens, $bpeTokenCountSql AS n_bpeish,

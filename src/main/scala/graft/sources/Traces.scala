@@ -108,10 +108,16 @@ object Traces {
   def writeBinaryTrace(ds: Dataset[Geom], path: String): Unit = {
     val n = ds.count()
     require(n <= Int.MaxValue, s"binary trace header is int32; got $n rows")
+    // ship the SESSION's Hadoop configuration to the executor task (a bare
+    // `new Configuration()` would silently drop S3A credentials / HDFS
+    // settings on any non-default filesystem; readBinaryTrace already uses
+    // the session conf)
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
     ds.repartition(1).sortWithinPartitions("id").foreachPartition {
       (it: Iterator[Geom]) =>
         val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         val out = fs.create(p, true)
         try {
           val header = java.nio.ByteBuffer.allocate(PageSize)

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r2 verdict item 3: the 4×16-bit SimHash banding was a quadratic cliff at
+  * web scale (candidates ~n²/2¹⁶ per band). The Manku choose-3-of-6 block
+  * scheme keeps pigeonhole completeness for Hamming ≤ 3 with ~32-bit keys.
+  * These specs lock (a) completeness vs brute force and (b) sub-n² candidate
+  * growth on a 10⁶-fingerprint random corpus.
+  */
+class MankuSimhashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Manku banding is pigeonhole-complete for Hamming <= 3 (vs brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 3000).map(i => (i.toLong, rnd.nextLong()))
+    // planted near-dups: <=3 random bit flips of every 10th fingerprint
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, f) =>
+      var g = f
+      (0 until 1 + rnd.nextInt(3)).foreach(_ => g ^= 1L << rnd.nextInt(64))
+      (id + 100000L, g)
+    }
+    val all = base ++ planted
+    val got = Dedup.simhashCandidates(all.toDF("id", "f"))
+      .filter(bit_count(col("a_f").bitwiseXOR(col("b_f"))) <= 3)
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (i, fi) <- all; (j, fj) <- all
+      if i < j && java.lang.Long.bitCount(fi ^ fj) <= 3
+    } yield (i, j)).toSet
+    assert(got == want && want.nonEmpty, s"missed ${(want -- got).take(5)}")
+  }
+
+  test("candidate volume is sub-quadratic on a 10^6 random-fingerprint corpus") {
+    // expected collisions ~ 20 * (n choose 2) / 2^32 ≈ 2.3e3 at n = 10^6;
+    // the r2-era 4×16-bit banding would give ~4 * (n²/2) / 2^16 ≈ 3.1e7.
+    val fps = spark.range(1000000L).select(col("id"), xxhash64(col("id")).as("f"))
+    val cands = Dedup.simhashCandidates(fps).count()
+    assert(cands < 1000000L, s"candidate count $cands is not sub-quadratic")
+    assert(cands > 0L) // sanity: the join is actually producing collisions
+  }
+}
