@@ -319,6 +319,34 @@ object SparkEntry {
       graft.sources.Traces.writeTextTrace(g, path)
       graft.sources.Traces.readTextTrace(s, path).toDF()
     }),
+    // S3 (serialized-index persistence, reference
+    // `cpp/Tree_generation.hpp:148-293` serialize / `:296-410` deserialize):
+    // the lakehouse-native answer is PERSISTED cell-bucketed tables — the
+    // replicated, bucket-sorted-by-cell layout IS the on-disk index, built
+    // once and reused by every later join with ZERO shuffle (the scan is the
+    // only data movement; plan asserted Exchange-free in BucketedJoinSpec).
+    "spatial_bucketed_join" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+        s"${ProcessHandle.current().pid()}"
+      def persist(spec: graft.api.RectSpec, p: String, name: String): Unit =
+        SpatialJoins.withCells(
+            spec.load(s, dir).toDF(s"${p}_id", s"${p}_xmin", s"${p}_xmax",
+              s"${p}_ymin", s"${p}_ymax"), grid, p)
+          .write.mode("overwrite").bucketBy(16, "cell").sortBy("cell")
+          .option("path", s"$wh/$name").saveAsTable(name)
+      persist(partRects, "a", "graft_bkt_a")
+      persist(ordersRects, "b", "graft_bkt_b")
+      val ac = s.table("graft_bkt_a")
+      val bc = s.table("graft_bkt_b").withColumnRenamed("cell", "b_cell")
+      // hint("merge") forces the sort-merge path even at oracle-test sizes
+      // (a broadcast would also be shuffle-free but proves nothing about the
+      // bucketed layout a 100 TB static side relies on)
+      ac.hint("merge").join(bc,
+          col("cell") === col("b_cell") && SpatialJoins.intersectPred &&
+            SpatialJoins.cellOfCol(grid, greatest(col("a_xmin"), col("b_xmin")),
+              greatest(col("a_ymin"), col("b_ymin"))) === col("cell"))
+        .select(col("a_id"), col("b_id"))
+    }),
     // SQL surface: st_within / st_dwithin joins, same rewrite (predicate
     // refinement rides on the cell candidate phase)
     "spatial_sql_within_join" -> ((s, dir) => {
@@ -519,6 +547,7 @@ object SparkEntry {
         s"JOIN (${partRects.sqlSelect}) b ON sqrt($dx * $dx + $dy * $dy) <= 5.0"
     },
     "spatial_salted_join" -> joinOracle(partRects, ordersRects),
+    "spatial_bucketed_join" -> joinOracle(partRects, ordersRects),
     "spatial_within_join" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
         s"JOIN (${ordersRects.sqlSelect}) b ON ${SpatialJoins.withinSql}"),

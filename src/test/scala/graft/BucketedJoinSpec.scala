@@ -68,4 +68,18 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("driver query spatial_bucketed_join is Exchange-free and matches gridJoin") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/part.parquet").exists())
+    val joined = SparkEntry.queries("spatial_bucketed_join")(spark, dir)
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"bucketed driver query must not shuffle:\n$phys")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SpatialJoins.gridJoin(
+        graft.api.Derived.partRects.load(spark, dir),
+        graft.api.Derived.ordersRects.load(spark, dir), SparkEntry.grid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }

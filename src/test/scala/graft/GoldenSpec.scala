@@ -39,6 +39,23 @@ class GoldenSpec extends AnyFunSuite {
     assert(SpatialJoins.gridJoin(p, b, s).count() == 1059L)
   }
 
+  test("golden: tile-join microbench counts (tile 64: 145 @ map 10, 550 @ map 5, 0 @ map 10000)") {
+    // reference `cpp/tile_join_microbench.cpp:55,104` reads the FIRST
+    // tile_size=64 objects of each generated 1000-object file (seeds
+    // 123/456, obj edge 1.0 — `data_gen/README.md` "Tile-level Join
+    // Microbenchmark Dataset" publishes the three counts)
+    def tileCount(mapEdge: Double): Long = {
+      val a = Workloads.uniformPolygons(spark, 1000, 123, mapEdge = mapEdge)
+        .filter((g: graft.geom.Geom) => g.id < 64)
+      val b = Workloads.uniformPolygons(spark, 1000, 456, mapEdge = mapEdge)
+        .filter((g: graft.geom.Geom) => g.id < 64)
+      SpatialJoins.broadcastNL(a, b).count()
+    }
+    assert(tileCount(10.0) == 145L)
+    assert(tileCount(5.0) == 550L)
+    assert(tileCount(10000.0) == 0L)
+  }
+
   test("golden counts agree across physical plans (sweep, stripes)") {
     val a = Workloads.uniformPolygons(spark, 100000, 123)
     val b = Workloads.uniformPolygons(spark, 100000, 456)
