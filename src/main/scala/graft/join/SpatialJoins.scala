@@ -455,7 +455,15 @@ object SpatialJoins {
     * (dist, b_id). Driver iterations: O(log(extent/r0)).
     */
   def knnJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, k: Int,
-              bCountHint: Long = -1L): DataFrame = {
+              bCountHint: Long = -1L): DataFrame =
+    knnJoinWithRounds(a, b, extent, k, bCountHint)._1
+
+  /** [[knnJoin]] also returning the number of ring-expansion rounds the
+    * driver loop ran — benchmarks report it as evidence the loop converges
+    * in O(log(extent/r0)) rounds with bounded driver work.
+    */
+  def knnJoinWithRounds(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, k: Int,
+                        bCountHint: Long = -1L): (DataFrame, Int) = {
     val spark = a.sparkSession
     import org.apache.spark.sql.expressions.Window
     // the static b side is scanned in every ring-expansion round — persist it
@@ -498,8 +506,10 @@ object SpatialJoins {
       r *= 2; iter += 1
     }
     bCached.unpersist()
-    if (acc == null) prefixed(a, "a").limit(0)
-      .select(col("a_id"), col("a_id").as("b_id"), lit(0.0).as("dist"), lit(1).as("rank"))
-    else acc
+    val out =
+      if (acc == null) prefixed(a, "a").limit(0)
+        .select(col("a_id"), col("a_id").as("b_id"), lit(0.0).as("dist"), lit(1).as("rank"))
+      else acc
+    (out, iter)
   }
 }

@@ -205,42 +205,85 @@ object Dedup {
     * ([[graft.functions.MinHashSig]]); the band bucket is md5 over the
     * comma-joined band minima (replayable in DuckDB, unlike xxhash64).
     */
-  def minhashCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** `(id, shs, sig)` per doc: shingle set + minhash signature, ONE native
+    * codegen'd pass each. PERSISTED: the frame feeds both sides of the band
+    * self-join plus the verify re-attach — without the persist each consumer
+    * re-runs the tokenize+shingle+hash+64-permutation work (measured ~2.5× on
+    * the 1M-doc bench). Storage is O(shingles) and evicted by Spark's
+    * ContextCleaner when the frame is GC'd.
+    */
+  private def sigFrame(docs: DataFrame, k: Int, numPerm: Int,
+                       idCol: String, textCol: String): DataFrame = {
+    val perms = minhashPerms(numPerm)
+    shingleFrame(docs, k, idCol, textCol, useHash60 = true)
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), col("shs"),
+        MinHashSig(col("shs"), perms.map(_._1), perms.map(_._2), MinHashP).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate pairs from a precomputed [[sigFrame]]. */
+  private def candidatesFromSig(sigF: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
-    val perms = minhashPerms(numPerm)
-    val sh = shingleFrame(docs, k, idCol, textCol, useHash60 = true)
-      .filter(size(col("shs")) > 0)
-    val sig = sh.select(col("id"),
-      MinHashSig(col("shs"), perms.map(_._1), perms.map(_._2), MinHashP).as("sig"))
+    val sig = sigF.select(col("id"), col("sig"))
+    // bucket = hash60 of the comma-joined band minima: an 8-byte long key
+    // (replayable in DuckDB) instead of a 32-byte md5 hex string — the band
+    // self-join shuffle carries (id, band, bucket) = 24 B/row either way the
+    // text never moves, but the long key also compares/hashes cheaper
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
-        md5(array_join(transform(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand),
-          _.cast("string")), ",").cast("binary")).as("bucket"))
+        OracleHash.hash60(array_join(transform(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), ",")).as("bucket"))
     }
     // pair generation via bucket self-join: a hot bucket shuffle-partitions
     // instead of materializing all its ids in one collect_list row (which
     // would OOM a single task on a near-dup-heavy corpus)
     val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // shuffle_hash: the band join's grouping is pure collision-lookup; the
+    // SMJ sorts of 16M+ banded rows are pure overhead here (measured ~2× on
+    // the 1M-doc bench)
     bucketed.toDF("a_id", "band", "bucket")
-      .join(bucketed.toDF("b_id", "band_b", "bucket_b"),
+      .join(bucketed.toDF("b_id", "band_b", "bucket_b").hint("shuffle_hash"),
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
   }
 
+  /** Standalone candidate API (shingle → minhash → band → bucket join). */
+  def minhashCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    candidatesFromSig(sigFrame(docs, k, numPerm, idCol, textCol), numPerm, bands)
+
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard verify
     * (over the same hash60 shingle sets the candidates were built from).
     */
   def minhashDedupPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                         num: Int = 1, den: Int = 2): DataFrame = {
-    val cand = minhashCandidates(docs, k, numPerm, bands)
-    val shArr = shingleFrame(docs, k, "doc_id", "text", useHash60 = true)
-    cand.join(shArr.toDF("a_id", "a_shs"), "a_id")
-      .join(shArr.toDF("b_id", "b_shs"), "b_id")
+    val sigF = sigFrame(docs, k, numPerm, "doc_id", "text")
+    // candidates are PERSISTED and counted once: the count is the planning
+    // input for the verify phase and the persist stops the band join from
+    // re-running for each of the three consumers below
+    val cand = candidatesFromSig(sigF, numPerm, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    val shArr = sigF.select(col("id"), col("shs"))
+    // semi-join-reduce the shingle arrays to CANDIDATE docs before attaching
+    // them: when the candidate population ≪ corpus (every real dedup run),
+    // BROADCASTING the candidate-id set means the corpus's shingle arrays —
+    // O(tokens) bytes per doc — never enter a shuffle; only candidates'
+    // arrays move. Without this the verify join shuffled every doc's array
+    // twice (measured 1.6 KB/doc at the 1M-doc bench — more than the text).
+    // Above ~10M candidate pairs fall back to a shuffled semi-join (a
+    // candidate set that large means the arrays move regardless).
+    val candIds0 = cand.select(col("a_id").as("id"))
+      .unionByName(cand.select(col("b_id").as("id"))).distinct()
+    val candIds = if (nCand <= 10000000L) broadcast(candIds0) else candIds0
+    val shCand = shArr.join(candIds, "id")
+    cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
+      .join(shCand.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
       .filter(col("common") * den >=
         lit(num) * (size(col("a_shs")) + size(col("b_shs")) - col("common")))
@@ -262,7 +305,7 @@ object Dedup {
        |  FROM sh60 CROSS JOIN perms GROUP BY 1, 2
        |), bnd AS (
        |  SELECT doc_id, i // $rowsPerBand AS band,
-       |         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bucket
+       |         ${OracleHash.hash60Sql("string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)")} AS bucket
        |  FROM mh GROUP BY 1, 2
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
