@@ -83,7 +83,11 @@ object Bench {
         val dir = SpatialJoins.chooseStripeAxis(pts, p0, ext, 10000)
         val scheme = if (dir == 'x') CellScheme.stripesX(ext, 10000)
                      else CellScheme.stripesY(ext, 10000)
-        def st() = time { SpatialJoins.gridJoin(pts, p0, scheme).count() }
+        // stripes hold ~n/10000 rows each — far over the declarative plan's
+        // dense-cell break-even, so run the cogroup PLANE-SWEEP inner loop
+        // (what the reference's 1d_stripes.hpp does; the declarative SMJ
+        // loop is quadratic per stripe: measured 18.8 s vs ~2 s)
+        def st() = time { SpatialJoins.gridJoinSweep(pts, p0, scheme).count() }
         st() // warm
         val ms = (1 to stripeRuns).map(_ => st())
         (ms.map(_._1), dir, ms.head._2)

@@ -13,7 +13,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("spatial_grid_join_pp", "pages_geo_join", "dedup_exact", "embed_topk")
+      else Seq("spatial_grid_join_pp", "pages_geo_join", "dedup_exact", "embed_topk",
+               "spatial_bucketed_join", "dedup_minhash")
     names.foreach { n =>
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, dir)

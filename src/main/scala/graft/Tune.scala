@@ -39,6 +39,14 @@ object Tune {
           println(f"    stage ${si.stageId}%3d ${si.name.take(30)}%-30s tasks=${si.numTasks}%4d wall=$dur%6.2f s")
       }
     })
+    if (args.contains("stripes")) {
+      println(s"gen: ${a.count()} x ${b.count()}")
+      val scheme = CellScheme.stripesY(ext, 10000)
+      t("stripes sweep warm")(SpatialJoins.gridJoinSweep(a, b, scheme).count())
+      t("stripes sweep")(SpatialJoins.gridJoinSweep(a, b, scheme).count())
+      t("stripes sweep x")(SpatialJoins.gridJoinSweep(a, b, CellScheme.stripesX(ext, 10000)).count())
+      spark.stop(); return
+    }
     if (args.contains("knn")) {
       a.unpersist(); b.unpersist()
       val q = Workloads.uniformPoints(spark, n / 10, 555, parts = 2 * cpus).cache()

@@ -131,7 +131,13 @@ object Workloads {
       val lo = n * t / p
       val hi = n * (t + 1) / p
       (lo until hi).iterator.map { id =>
-        val r = new java.util.SplittableRandom(seed ^ (id * 0x9e3779b97f4a7c15L))
+        // fmix64 the seed (see syntheticDocs): id*gamma seeding makes row
+        // streams shifted windows of one global SplittableRandom sequence
+        var s = seed ^ (id * 0x9e3779b97f4a7c15L)
+        s ^= s >>> 33; s *= 0xff51afd7ed558ccdL
+        s ^= s >>> 33; s *= 0xc4ceb9fe1a85ec53L
+        s ^= s >>> 33
+        val r = new java.util.SplittableRandom(s)
         val c = r.nextInt(clusters)
         val cr = new java.util.SplittableRandom(seed * 31 + c)
         val cx = cr.nextDouble() * mapEdge

@@ -408,8 +408,14 @@ object SpatialJoins {
     * counts, then one cogroup on the packed two-level key.
     */
   def gridJoinAdaptive(a: Dataset[Geom], b: Dataset[Geom], base: CellScheme,
-                       budgetPairs: Long = 4L * 1024 * 1024): DataFrame = {
-    val scheme = graft.skew.AdaptiveCells.plan(a, b, base, budgetPairs)
+                       budgetPairs: Long = 4L * 1024 * 1024,
+                       planSampleFraction: Double = 0.1): DataFrame = {
+    // split planning reads a Bernoulli SAMPLE (scaled-up per-cell counts):
+    // the estimate only picks split factors — exactly-once ownership is
+    // local arithmetic, so results are identical for any plan — and at
+    // petabyte scale the planning pass must not be a full input read
+    val scheme = graft.skew.AdaptiveCells.plan(a, b, base, budgetPairs,
+      sampleFraction = planSampleFraction)
     cogroupSchemeJoin(a, b, scheme.keysOf, scheme.ownerKey)
   }
 

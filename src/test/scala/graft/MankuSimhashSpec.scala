@@ -35,6 +35,15 @@ class MankuSimhashSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty, s"missed ${(want -- got).take(5)}")
   }
 
+  test("minhash verify attaches shingle arrays via BROADCAST semi-join (corpus arrays never shuffle)") {
+    import spark.implicits._
+    val docs = graft.ingest.Workloads.syntheticDocs(spark, 2000)
+    val plan = Dedup.minhashDedupPairs(docs).queryExecution.executedPlan.toString
+    // the candidate-id reduction must be a broadcast join so the full
+    // corpus's O(tokens)-sized shingle arrays stay out of every Exchange
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
   test("candidate volume is sub-quadratic on a 10^6 random-fingerprint corpus") {
     // expected collisions ~ 20 * (n choose 2) / 2^32 ≈ 2.3e3 at n = 10^6;
     // the r2-era 4×16-bit banding would give ~4 * (n²/2) / 2^16 ≈ 3.1e7.
