@@ -328,10 +328,16 @@ object SparkEntry {
     "spatial_bucketed_join" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
         s"${ProcessHandle.current().pid()}"
+      // repartition(16, cell) uses the same murmur3 hash as bucketBy, so
+      // each write task holds exactly one bucket → ONE sorted file per
+      // bucket (scan-side sorted bucketed reads; without it every task
+      // writes a sliver of every bucket — 16× the files, and the join must
+      // re-sort)
       def persist(spec: graft.api.RectSpec, p: String, name: String): Unit =
         SpatialJoins.withCells(
             spec.load(s, dir).toDF(s"${p}_id", s"${p}_xmin", s"${p}_xmax",
               s"${p}_ymin", s"${p}_ymax"), grid, p)
+          .repartition(16, col("cell"))
           .write.mode("overwrite").bucketBy(16, "cell").sortBy("cell")
           .option("path", s"$wh/$name").saveAsTable(name)
       persist(partRects, "a", "graft_bkt_a")

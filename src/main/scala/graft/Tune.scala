@@ -39,6 +39,38 @@ object Tune {
           println(f"    stage ${si.stageId}%3d ${si.name.take(30)}%-30s tasks=${si.numTasks}%4d wall=$dur%6.2f s")
       }
     })
+    if (args.contains("bucketed")) {
+      // S3 payoff check: build-once cell-bucketed layout vs per-run shuffle
+      // join — the lakehouse answer to the reference's tree_A.bin persistence
+      import org.apache.spark.sql.functions.{col, greatest}
+      println(s"gen: ${a.count()} x ${b.count()}")
+      val s16 = CellScheme.forSize(ext, n, targetPerCell = 16, maxN = 8192)
+      t("oneoff gridJoin warm")(SpatialJoins.gridJoin(a, b, s16).count())
+      t("oneoff gridJoin")(SpatialJoins.gridJoin(a, b, s16).count())
+      val wh = "/dev/shm/graft-tune-bucketed"
+      def persist(ds: org.apache.spark.sql.Dataset[graft.geom.Geom],
+                  p: String, name: String): Unit =
+        SpatialJoins.withCells(
+            ds.toDF(s"${p}_id", s"${p}_xmin", s"${p}_xmax", s"${p}_ymin", s"${p}_ymax"),
+            s16, p)
+          .repartition(64, col("cell"))
+          .write.mode("overwrite").bucketBy(64, "cell").sortBy("cell")
+          .option("path", s"$wh/$name").saveAsTable(name)
+      t("build bucketed a")({ persist(a, "a", "tune_bkt_a"); 0L })
+      t("build bucketed b")({ persist(b, "b", "tune_bkt_b"); 0L })
+      def bktJoin() = {
+        val ac = spark.table("tune_bkt_a")
+        val bc = spark.table("tune_bkt_b").withColumnRenamed("cell", "b_cell")
+        ac.hint("merge").join(bc,
+            col("cell") === col("b_cell") && SpatialJoins.intersectPred &&
+              SpatialJoins.cellOfCol(s16, greatest(col("a_xmin"), col("b_xmin")),
+                greatest(col("a_ymin"), col("b_ymin"))) === col("cell"))
+          .count()
+      }
+      t("bucketed join warm")(bktJoin())
+      t("bucketed join")(bktJoin())
+      spark.stop(); return
+    }
     if (args.contains("stripes")) {
       println(s"gen: ${a.count()} x ${b.count()}")
       val scheme = CellScheme.stripesY(ext, 10000)

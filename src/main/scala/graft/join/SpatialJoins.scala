@@ -112,9 +112,17 @@ object SpatialJoins {
     */
   def intersectJoin(a: Dataset[Geom], b: Dataset[Geom],
                     broadcastThreshold: Long = 10000L): DataFrame = {
-    val ea = estRowsFromStats(a); val eb = estRowsFromStats(b)
-    if (eb <= broadcastThreshold) broadcastNL(a, b)
-    else if (ea <= broadcastThreshold)
+    // the stats estimate UNDER-counts rows on compressed column-pruned scans
+    // (sizeInBytes is source bytes), and broadcastNL is O(|A|·|B|) work — a
+    // false "small" is catastrophic (a 20k×150k misroute measured 30 s where
+    // the grid join takes 0.6 s). So a small estimate is CONFIRMED by a
+    // bounded count: limit(t+1).count() reads at most t+1 rows no matter how
+    // large the input — never a full scan.
+    def small(d: Dataset[Geom]): Boolean =
+      estRowsFromStats(d) <= broadcastThreshold &&
+        d.limit((broadcastThreshold + 1).toInt).count() <= broadcastThreshold
+    if (small(b)) broadcastNL(a, b)
+    else if (small(a))
       broadcastNL(b, a).select(col("b_id").as("a_id"), col("a_id").as("b_id"))
     else {
       val u = a.toDF().withColumn("s", lit(0L))
