@@ -312,6 +312,19 @@ object SparkEntry {
       graft.sources.Traces.writeBinaryTrace(g, path)
       graft.sources.Traces.readBinaryTrace(s, path).toDF()
     }),
+    // S3 LITERAL: the reference's serialized R-tree format (`tree_A.bin`,
+    // cpp/Tree_generation.hpp:150-410) — STR-pack the derived rects,
+    // serialize in the 4096-B node-page layout, scan the leaf OBJECTS back
+    // as a distributed binaryRecords source. (The scale path for a static
+    // side is the bucketed layout — spatial_bucketed_join; this closes the
+    // format itself.)
+    "source_tree_scan" -> ((s, dir) => {
+      val g = partRects.load(s, dir).collect() // index build is per-static-side, bounded
+      val tree = graft.sources.TreeBin.buildTree(g)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_treebin_${dir.hashCode}.bin"
+      graft.sources.TreeBin.writeTreeBin(s, tree, path)
+      graft.sources.TreeBin.readTreeBinObjects(s, path).toDF()
+    }),
     // S1: reference text-trace write + distributed scan (float32 semantics)
     "source_text_trace" -> ((s, dir) => {
       val g = customerPoints.load(s, dir)
@@ -575,6 +588,12 @@ object SparkEntry {
     "source_wkt_roundtrip" ->
       (s"SELECT id, round(xmin, 2) AS xmin, round(xmax, 2) AS xmax, " +
         s"round(ymin, 2) AS ymin, round(ymax, 2) AS ymax FROM (${partRects.sqlSelect})"),
+    // serialized-tree scan: leaf objects = input set under float32 narrowing
+    "source_tree_scan" ->
+      (s"SELECT id, CAST(CAST(xmin AS REAL) AS DOUBLE) AS xmin, " +
+        s"CAST(CAST(xmax AS REAL) AS DOUBLE) AS xmax, " +
+        s"CAST(CAST(ymin AS REAL) AS DOUBLE) AS ymin, " +
+        s"CAST(CAST(ymax AS REAL) AS DOUBLE) AS ymax FROM (${partRects.sqlSelect})"),
     // binary trace: raw float32 narrowing (no %.2f text round-trip)
     "source_binary_trace" ->
       (s"SELECT id, CAST(CAST(xmin AS REAL) AS DOUBLE) AS xmin, " +

@@ -25,6 +25,15 @@ final class STRTree private (
   // zero per-call allocation. NOT safe to share one tree across threads.
   private var stack = new Array[Int](32)
 
+  /** Structural view for serialization ([[graft.sources.TreeBin]]):
+    * (x0, x1, y0, y1, childStart, childEnd, isLeaf, rootIdx). Children of
+    * internal node n are NODE indices cs(n) until ce(n); of a leaf, ITEM
+    * indices into `items`.
+    */
+  private[graft] def structure: (Array[Double], Array[Double], Array[Double],
+      Array[Double], Array[Int], Array[Int], Array[Boolean], Int) =
+    (nx0, nx1, ny0, ny1, childStart, childEnd, leafNode, root)
+
   /** Visit every item whose MBR intersects the (inclusive) query rect. */
   def foreachIntersecting(qx0: Double, qx1: Double, qy0: Double, qy1: Double)
                          (f: CellGeom => Unit): Unit = {

@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   */
 final case class Pair(a_id: Long, b_id: Long)
 
-private[join] final case class CellGeom(cell: Long, id: Long, xmin: Double,
-                                        xmax: Double, ymin: Double, ymax: Double)
+private[graft] final case class CellGeom(cell: Long, id: Long, xmin: Double,
+                                         xmax: Double, ymin: Double, ymax: Double)
 
 /** Spatial θ-join (inclusive rectangle-intersect) with several physical
   * strategies, all producing the identical pair set:
