@@ -84,15 +84,21 @@ object Similarity {
     val rowsPerBand = numPlanes / bands
     val planes = hyperplanes(numPlanes, dim, seed)
     def banded(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
+      df.select(col("vec_id").as(idName),
           posexplode(graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand)))
-        .toDF(idName, s"${idName}_emb", "band", "piece")
-    val qb = banded(queries, "q_id")
-    val cb = banded(corpus, "c_id")
-    val cand = qb.join(cb, Seq("band", "piece"))
-      .select(col("q_id"), col("c_id"), col("q_id_emb"), col("c_id_emb")).distinct()
-    val scored = cand.select(col("q_id"), col("c_id"),
-      qdot(col("q_id_emb"), col("c_id_emb")).as("dot"))
+        .toDF(idName, "band", "piece")
+    // candidates as ID PAIRS only: the same (q, c) pair collides in several
+    // bands, and a distinct over rows CARRYING both embedding arrays
+    // shuffles 2×dim doubles per banded collision (measured 87 s for 2 000
+    // queries × 20 k corpus). Dedup 16-byte id pairs instead, then attach
+    // embeddings once: queries by broadcast, corpus by one equi-join.
+    val cand = banded(queries, "q_id").join(banded(corpus, "c_id"), Seq("band", "piece"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        "q_id")
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      .select(col("q_id"), col("c_id"), qdot(col("q_emb"), col("c_emb")).as("dot"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
@@ -110,9 +116,9 @@ object Similarity {
     val rowsPerBand = numPlanes / bands
     val planes = hyperplanes(numPlanes, dim, seed)
     def banded(df: DataFrame, idName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(s"${idName}_emb"),
+      df.select(col("vec_id").as(idName),
           posexplode(graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand)))
-        .toDF(idName, s"${idName}_emb", "band", "piece")
+        .toDF(idName, "band", "piece")
     // query side fans out to the exact piece plus its 1-bit flips
     val qb = banded(queries, "q_id")
       .withColumn("flip", explode(array((-1 until rowsPerBand).map(lit(_)): _*)))
@@ -121,11 +127,14 @@ object Similarity {
       .withColumn("piece",
         expr("CASE WHEN flip < 0 THEN piece ELSE piece ^ shiftleft(CAST(1 AS BIGINT), flip) END"))
       .drop("flip")
-    val cb = banded(corpus, "c_id")
-    val cand = qb.join(cb, Seq("band", "piece"))
-      .select(col("q_id"), col("c_id"), col("q_id_emb"), col("c_id_emb")).distinct()
-    val scored = cand.select(col("q_id"), col("c_id"),
-      qdot(col("q_id_emb"), col("c_id_emb")).as("dot"))
+    // id-pair candidates + one embedding attach (see lshTopK)
+    val cand = qb.join(banded(corpus, "c_id"), Seq("band", "piece"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        "q_id")
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      .select(col("q_id"), col("c_id"), qdot(col("q_emb"), col("c_emb")).as("dot"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
