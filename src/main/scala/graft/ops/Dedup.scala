@@ -227,27 +227,26 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
     val sig = sigF.select(col("id"), col("sig"))
-    // bucket = hash60 of the comma-joined band minima: an 8-byte long key
-    // (replayable in DuckDB) instead of a 32-byte md5 hex string — the band
-    // self-join shuffle carries (id, band, bucket) = 24 B/row either way the
-    // text never moves, but the long key also compares/hashes cheaper
+    // bucket = hash60 of "<band>|<comma-joined band minima>": folding the
+    // band index INTO the hash makes the join key a single 8-byte long
+    // (replayable in DuckDB — the r2 version was a 32-byte md5 hex string
+    // PLUS a band column), so the band self-join shuffles one long per row
+    // and never the text
     val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        OracleHash.hash60(array_join(transform(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand),
-          _.cast("string")), ",")).as("bucket"))
+      OracleHash.hash60(concat_ws("|", lit(bi),
+        array_join(transform(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), ",")))
     }
     // pair generation via bucket self-join: a hot bucket shuffle-partitions
     // instead of materializing all its ids in one collect_list row (which
     // would OOM a single task on a near-dup-heavy corpus)
-    val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
     // shuffle_hash: the band join's grouping is pure collision-lookup; the
     // SMJ sorts of 16M+ banded rows are pure overhead here (measured ~2× on
     // the 1M-doc bench)
-    bucketed.toDF("a_id", "band", "bucket")
-      .join(bucketed.toDF("b_id", "band_b", "bucket_b").hint("shuffle_hash"),
-        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("a_id") < col("b_id"))
+    bucketed.toDF("a_id", "bucket")
+      .join(bucketed.toDF("b_id", "bucket_b").hint("shuffle_hash"),
+        col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
   }
@@ -304,13 +303,13 @@ object Dedup {
        |  SELECT doc_id, i, min((a * (h % $MinHashP) + b) % $MinHashP) AS m
        |  FROM sh60 CROSS JOIN perms GROUP BY 1, 2
        |), bnd AS (
-       |  SELECT doc_id, i // $rowsPerBand AS band,
-       |         ${OracleHash.hash60Sql("string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)")} AS bucket
-       |  FROM mh GROUP BY 1, 2
+       |  SELECT doc_id,
+       |         ${OracleHash.hash60Sql("CAST(i // " + rowsPerBand + " AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)")} AS bucket
+       |  FROM mh GROUP BY doc_id, i // $rowsPerBand
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bnd a JOIN bnd b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n_sh FROM sh60 GROUP BY 1
        |), common AS (
