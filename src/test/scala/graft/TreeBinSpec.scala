@@ -35,6 +35,16 @@ class TreeBinSpec extends AnyFunSuite {
     assert(back.length == geoms.length) // ids unique -> no silent dup/loss
   }
 
+  test("round-trip holds across fanouts (leafSize 3, 5, 64, and > one page group)") {
+    val geoms = mk(500)
+    for (leafSize <- Seq(3, 5, 64, 150)) {
+      val path = java.nio.file.Files.createTempDirectory("treebin").toString + "/t.bin"
+      TreeBin.writeTreeBin(spark, TreeBin.buildTree(geoms, leafSize), path)
+      val back = TreeBin.readTreeBinObjects(spark, path).collect()
+      assert(back.map(f32).toSet == geoms.map(f32).toSet, s"leafSize=$leafSize")
+    }
+  }
+
   test("structure: root is page 0, level-order ids, directory MBR = union of children") {
     val geoms = mk(3000)
     val path = java.nio.file.Files.createTempDirectory("treebin").toString + "/tree_A.bin"
