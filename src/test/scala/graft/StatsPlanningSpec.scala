@@ -76,4 +76,15 @@ class StatsPlanningSpec extends AnyFunSuite {
     val got = planned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("grid path forced onto EMPTY inputs returns empty, no NPE") {
+    // stats over-estimate filtered scans, so small() can be false for an
+    // empty input — the min/max extent agg then returns nulls; the guard
+    // must route to broadcastNL instead of constructing Extent from nulls
+    val a = mk(400, 0).filter(_.id < -1)
+    val b = mk(400, 1000).filter(_.id < -1)
+    assert(SpatialJoins.intersectJoin(a, b, broadcastThreshold = 0L).count() == 0L)
+    // one side empty, forced past the broadcast check as well
+    assert(SpatialJoins.intersectJoin(a, mk(400, 1000), broadcastThreshold = 0L).count() == 0L)
+  }
 }
