@@ -122,9 +122,15 @@ object Bench {
         budgetPairs = 1L << 22).count()
     }
     sweep() // warm (codegen + JIT for the shared cogroup body)
-    val s1 = Seq(sweep(), sweep())
+    // min-of-3 sweep samples INTERLEAVED with the other families (r3 verdict:
+    // min-of-2 let a single neighbour-load spike sink the OSM-PP-class
+    // number — the one metric that round missed its bar on a polluted run)
+    val s1a = sweep()
     val (tB, rB) = bsp()
+    val s1b = sweep()
     val (tA, rA) = adaptive()
+    val s1c = sweep()
+    val s1 = Seq(s1a, s1b, s1c)
     val res = s1.head._2
     a.unpersist(); b.unpersist()
     (tGen, s1.map(_._1).min, tB, tA, res, res == rB && res == rA)
@@ -248,6 +254,41 @@ object Bench {
     (corpusBytes, tEx, exBytes, nEx, tMh, mhBytes, nMh, tCc, nComp)
   }
 
+  /** Hot-district regime — the adaptive split's WINNING case (the
+    * reference's budget rule exists because per-cell |A|·|B| explodes,
+    * `partition_multi.hpp:106-189`): 15% of the rows sit in a 100-unit
+    * "urban district" inside ONE ~159-unit grid cell — per-cell product
+    * ≈ 2.25·10¹⁰ ≈ 5,400× the 4M-pair budget, ~230M result pairs from that
+    * one cell. Plain grid serializes the cell into one task (STR prunes the
+    * candidates fine — it's the quarter-billion-pair EMISSION that
+    * serializes); salting splits only the a-side, so per-bucket work stays
+    * |A|·|B|/salt comparisons; adaptive splits BOTH sides s×s ways, so
+    * per-task work drops ~s⁴ and the emission spreads over s² tasks.
+    * Adaptive/grid: warm + interleaved min-of-2; salted runs ONCE (it is 10×+
+    * slower here — tune-measured 60 s vs adaptive's 5 s — and a second
+    * sample of a 60 s loser buys nothing). All three must agree on the count.
+    */
+  private def headlineHotspot(spark: SparkSession, n: Long)
+      : (Double, Double, Double, Long, Boolean) = {
+    val ext = Extent(0, 10003, 0, 10003)
+    val a = Workloads.hotspotPolygons(spark, n, seed = 31, mapEdge = 10000.0,
+      hotFrac = 0.15, hotX = 990, hotY = 990, hotW = 100.0, meanEdge = 5.0, parts = 64).cache()
+    val b = Workloads.hotspotPolygons(spark, n, seed = 32, mapEdge = 10000.0,
+      hotFrac = 0.15, hotX = 990, hotY = 990, hotW = 100.0, meanEdge = 5.0, parts = 64).cache()
+    a.count(); b.count()
+    val base = CellScheme.forSize(ext, n, targetPerCell = 256, maxN = 2048)
+    def adaptive() = time { SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 1L << 22).count() }
+    def grid() = time { SpatialJoins.gridJoinSweep(a, b, base).count() }
+    adaptive(); grid() // warm both timed families before timing either
+    val rounds = Seq.fill(2)(Seq(adaptive(), grid()))
+    val (tS, rS) = time { SpatialJoins.gridJoinSalted(a, b, base, salt = 32).count() }
+    def best(i: Int) = rounds.map(_(i)._1).min
+    val counts = rounds.head.map(_._2) :+ rS
+    val countsMatch = counts.forall(_ == counts.head)
+    a.unpersist(); b.unpersist()
+    (best(0), best(1), tS, counts.head, countsMatch)
+  }
+
   /** Dense-cell evidence (reference J2): the declarative grid join's
     * per-cell loop is quadratic in cell population, the cogroup path's
     * STR-indexed loop is not — measured at targetPerCell=2048 where the two
@@ -333,6 +374,8 @@ object Bench {
       dedupAtScale(spark, math.max(benchN / 10, 10000L))
     val (tSkew, resSkew, tSkewGrid, tSkewStp, tSkewBsp, skewCountsMatch) =
       headlineSkew(spark, math.max(benchN / 5, 100000L))
+    val (tHotAdaptive, tHotGrid, tHotSalted, resHot, hotCountsMatch) =
+      headlineHotspot(spark, math.max(benchN / 10, 100000L))
     val (tDenseDecl, tDenseStr, resDense, denseCountsMatch) =
       denseCell(spark, math.max(benchN / 5, 100000L))
     spark.stop()
@@ -375,6 +418,9 @@ object Bench {
       s""""skew_join_sec":$tSkew,"skew_results":$resSkew,""" +
       s""""skew_grid_sec":$tSkewGrid,"skew_stp_sec":$tSkewStp,"skew_bsp_sec":$tSkewBsp,""" +
       s""""skew_counts_match":$skewCountsMatch,""" +
+      s""""hot_adaptive_sec":$tHotAdaptive,"hot_grid_sec":$tHotGrid,""" +
+      s""""hot_salted_sec":$tHotSalted,"hot_results":$resHot,""" +
+      s""""hot_counts_match":$hotCountsMatch,""" +
       s""""dense_decl_sec":$tDenseDecl,"dense_str_sec":$tDenseStr,"dense_results":$resDense,""" +
       s""""dense_counts_match":$denseCountsMatch,""" +
       s""""stripes_sec":$tStripes,"stripes_direction":"${big.stripeDir}",""" +
@@ -449,6 +495,7 @@ object Bench {
          || Dedup minhash-LSH (64 perm / 16 band + exact verify) | ${f"$tMinhash%.2f"} s, $nMinhashPairs pairs, shuffle ${f"${minhashShuffle / 1e6}%.1f"} MB (${f"${minhashShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc — constant per doc, independent of doc length) |
          || Gaussian (OSM-like) PP ${math.max(benchN / 5, 100000L)}×same, adaptive join | ${f"$tSkew%.3f"} s / $resSkew results |
          || same skew via plain grid / sort-tile (STP) / binary-split (BSP) | ${f"$tSkewGrid%.2f"} / ${f"$tSkewStp%.2f"} / ${f"$tSkewBsp%.2f"} s (counts match: $skewCountsMatch; warmed, interleaved min-of-2; STP/BSP scheme build excluded, adaptive's planning pass included) |
+         || **HOT-DISTRICT (adaptive's winning regime)**: ${math.max(benchN / 10, 100000L)}×same, 15% of rows in a 100-unit district inside ONE cell (~5,400× the 4M-pair budget, ~${resHot / 1000000}M pairs from that cell) | adaptive **${f"$tHotAdaptive%.2f"} s** vs plain grid ${f"$tHotGrid%.2f"} s (${f"${tHotGrid / tHotAdaptive}%.1f"}×) vs salted×32 ${f"$tHotSalted%.2f"} s (${f"${tHotSalted / tHotAdaptive}%.1f"}×, single run) — $resHot results, counts match: $hotCountsMatch; adaptive's time includes its sampled planning pass |
          || Dense cells (tpc=2048): declarative vs cogroup+STR | ${f"$tDenseDecl%.2f"} s vs ${f"$tDenseStr%.2f"} s (same $resDense results) |
          || N→4N scaling (local[$nSmall]→local[$nMid]) | ${f"${tJoinSmall / tJoinMid}%.2f"}× (ideal 4×), efficiency ${f"$eff%.2f"} |
          || 4N→full (local[$nMid]→local[$cpus]) | efficiency ${f"$effWide%.2f"} |

@@ -71,6 +71,29 @@ object Tune {
       t("bucketed join")(bktJoin())
       spark.stop(); return
     }
+    if (args.contains("hotspot")) {
+      // adaptive's winning regime: one cell at ~60,000x the pair budget
+      a.unpersist(); b.unpersist()
+      val hext = Extent(0, 10003, 0, 10003)
+      val extraArgs = args.drop(args.indexOf("hotspot") + 1).flatMap(_.toDoubleOption)
+      val hf = extraArgs.headOption.getOrElse(0.15)
+      val me = extraArgs.drop(1).headOption.getOrElse(5.0)
+      val hw = extraArgs.drop(2).headOption.getOrElse(100.0)
+      val ha = Workloads.hotspotPolygons(spark, n, seed = 31, mapEdge = 10000.0,
+        hotFrac = hf, hotX = 990, hotY = 990, hotW = hw, meanEdge = me, parts = 2 * cpus).cache()
+      val hb = Workloads.hotspotPolygons(spark, n, seed = 32, mapEdge = 10000.0,
+        hotFrac = hf, hotX = 990, hotY = 990, hotW = hw, meanEdge = me, parts = 2 * cpus).cache()
+      println(s"gen: ${ha.count()} x ${hb.count()}")
+      val base = CellScheme.forSize(hext, n, targetPerCell = 256, maxN = 2048)
+      println(s"base grid ${base.nx}x${base.ny} cellW=${base.cellW}")
+      t("adaptive warm")(SpatialJoins.gridJoinAdaptive(ha, hb, base, budgetPairs = 1L << 22).count())
+      t("adaptive")(SpatialJoins.gridJoinAdaptive(ha, hb, base, budgetPairs = 1L << 22).count())
+      t("grid sweep warm")(SpatialJoins.gridJoinSweep(ha, hb, base).count())
+      t("grid sweep")(SpatialJoins.gridJoinSweep(ha, hb, base).count())
+      t("salted x32 warm")(SpatialJoins.gridJoinSalted(ha, hb, base, salt = 32).count())
+      t("salted x32")(SpatialJoins.gridJoinSalted(ha, hb, base, salt = 32).count())
+      spark.stop(); return
+    }
     if (args.contains("stripes")) {
       println(s"gen: ${a.count()} x ${b.count()}")
       val scheme = CellScheme.stripesY(ext, 10000)

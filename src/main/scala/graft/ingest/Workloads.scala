@@ -115,6 +115,44 @@ object Workloads {
     }.toDF("doc_id", "text")
   }
 
+  /** Hot-corner workload — the adaptive-split join's motivating regime (the
+    * reference's quadtree budget rule exists because per-cell |A|·|B|
+    * explodes, `partition_multi.hpp:106-189`): `hotFrac` of the rows land
+    * uniformly in a TINY `hotW`-sided box (far smaller than any sane global
+    * grid cell, so one cell swallows them all), the rest uniformly over the
+    * map. A plain grid serializes the hot cell into one task; salting splits
+    * only one side's rows, so per-bucket work stays |A|·|B|/salt; adaptive
+    * splitting shrinks BOTH sides per subcell — the only strategy whose
+    * per-task work drops quadratically. Deterministic (fmix64-seeded
+    * SplittableRandom per id) and distributed, like every generator here.
+    */
+  def hotspotPolygons(spark: SparkSession, n: Long, seed: Long,
+                      mapEdge: Double = 10000.0, hotFrac: Double = 0.5,
+                      hotX: Double = 1000.0, hotY: Double = 1000.0,
+                      hotW: Double = 4.0, meanEdge: Double = 0.04,
+                      parts: Int = 32): Dataset[Geom] = {
+    import spark.implicits._
+    val p = math.min(parts.toLong, math.max(1L, n / 1024L)).toInt
+    val hotPermil = math.round(hotFrac * 1000.0)
+    spark.range(0, p, 1, p).flatMap { t =>
+      val lo = n * t / p
+      val hi = n * (t + 1) / p
+      (lo until hi).iterator.map { id =>
+        var s = seed ^ (id * 0x9e3779b97f4a7c15L)
+        s ^= s >>> 33; s *= 0xff51afd7ed558ccdL
+        s ^= s >>> 33; s *= 0xc4ceb9fe1a85ec53L
+        s ^= s >>> 33
+        val r = new java.util.SplittableRandom(s)
+        val hot = r.nextInt(1000) < hotPermil
+        val (x0, y0, w) = if (hot) (hotX, hotY, hotW) else (0.0, 0.0, mapEdge)
+        val xl = x0 + r.nextDouble() * w
+        val yl = y0 + r.nextDouble() * w
+        val e = meanEdge * (0.25 + 1.5 * r.nextDouble())
+        Geom(id, xl, xl + e, yl, yl + e)
+      }
+    }
+  }
+
   /** Skewed "OSM-like" workload: gaussian cluster mixture with variable edge
     * lengths (the reference's gaussian generator is
     * `spatial-join-on-FPGA-PBSM/scripts/nontree_data_gen/data_gen.py:56-66`,

@@ -428,7 +428,17 @@ object SpatialJoins {
     // petabyte scale the planning pass must not be a full input read
     val scheme = graft.skew.AdaptiveCells.plan(a, b, base, budgetPairs,
       sampleFraction = planSampleFraction)
-    cogroupSchemeJoin(a, b, scheme.keysOf, scheme.ownerKey)
+    if (scheme.splits.isEmpty) {
+      // zero hot cells → the two-level key degenerates to the plain grid, so
+      // return the plain-grid PLAN instead of paying the typed-cogroup
+      // serialization for nothing (on even density the insurance premium is
+      // now just the one sampled planning pass). Inner-loop routing mirrors
+      // intersectJoin: density from Catalyst stats, zero extra jobs. Every
+      // branch emits the identical pair set.
+      val perCellEst =
+        math.max(estRowsFromStats(a), estRowsFromStats(b)) / base.numCells.toDouble
+      if (perCellEst > 256.0) gridJoinSweep(a, b, base) else gridJoin(a, b, base)
+    } else cogroupSchemeJoin(a, b, scheme.keysOf, scheme.ownerKey)
   }
 
   // ---- distance join --------------------------------------------------------

@@ -174,8 +174,44 @@ object Dedup {
     val cand = prefix.toDF("a_id", "sh")
       .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    cand.join(shArr.toDF("a_id", "a_shs"), "a_id")
-      .join(shArr.toDF("b_id", "b_shs"), "b_id")
+    // semi-join-reduce the shingle ARRAYS to candidate docs before attaching
+    // them (same trick as minhashDedupPairs, Dedup.scala verify phase):
+    // rare-prefix candidates are by construction ≪ corpus, so BROADCASTING
+    // the candidate-id set keeps the corpus's O(tokens)-byte arrays out of
+    // the verify shuffle — exactly the large-corpus regime this prefix path
+    // is routed to. The r3 version attached arrays with two plain equi-joins
+    // against the FULL corpus frame, shuffling every document's array twice.
+    // cand is persisted because it now has two consumers (the count that
+    // gates the broadcast, and the verify join) and its lineage re-runs the
+    // freq/window prefix pipeline; released once the verified set is
+    // materialized.
+    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = candP.count()
+    val verified = verifyJaccard(candP, shArr, num, den,
+        broadcastIds = nCand <= 10000000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    candP.unpersist(blocking = false)
+    verified
+  }
+
+  /** Exact-Jaccard verification of a candidate pair frame `(a_id, b_id)`
+    * against per-doc shingle sets `shArr(id, shs)` — the shared verify phase
+    * of the MinHash-LSH and PPJoin-prefix pipelines. With `broadcastIds`
+    * (the candidates ≪ corpus case — every real dedup run) the shingle
+    * ARRAYS are semi-join-reduced to candidate docs via a BROADCAST id set
+    * before they are attached, so the corpus's O(tokens)-byte arrays never
+    * enter a shuffle; only candidates' arrays move.
+    */
+  private[graft] def verifyJaccard(cand: DataFrame, shArr: DataFrame,
+                                   num: Int, den: Int,
+                                   broadcastIds: Boolean): DataFrame = {
+    val candIds0 = cand.select(col("a_id").as("id"))
+      .unionByName(cand.select(col("b_id").as("id"))).distinct()
+    val candIds = if (broadcastIds) broadcast(candIds0) else candIds0
+    val shCand = shArr.join(candIds, "id")
+    cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
+      .join(shCand.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
       .filter(col("common") * den >=
         lit(num) * (size(col("a_shs")) + size(col("b_shs")) - col("common")))
@@ -277,16 +313,8 @@ object Dedup {
     // twice (measured 1.6 KB/doc at the 1M-doc bench — more than the text).
     // Above ~10M candidate pairs fall back to a shuffled semi-join (a
     // candidate set that large means the arrays move regardless).
-    val candIds0 = cand.select(col("a_id").as("id"))
-      .unionByName(cand.select(col("b_id").as("id"))).distinct()
-    val candIds = if (nCand <= 10000000L) broadcast(candIds0) else candIds0
-    val shCand = shArr.join(candIds, "id")
-    val verified = cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
-      .join(shCand.toDF("b_id", "b_shs"), "b_id")
-      .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
-      .filter(col("common") * den >=
-        lit(num) * (size(col("a_shs")) + size(col("b_shs")) - col("common")))
-      .select(col("a_id"), col("b_id"))
+    val verified = verifyJaccard(cand, shArr, num, den,
+        broadcastIds = nCand <= 10000000L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (tiny, O(pairs)) verified set eagerly so the two big
     // planning caches — shingle/signature arrays and raw candidates — can be

@@ -19,6 +19,27 @@ class DedupRoutingSpec extends AnyFunSuite {
     assert(viaPlain == viaPrefix && viaPlain.nonEmpty)
   }
 
+  test("verify phase broadcasts the candidate-id set (arrays never shuffle corpus-wide)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ingest.Workloads.syntheticDocs(spark, 3000, tokensPerDoc = 30)
+    val shArr = Dedup.shingleFrame(docs, 3, "doc_id", "text", useHash60 = true)
+      .filter(size(col("shs")) > 0)
+    // a handful of candidate pairs against a 3000-doc corpus — the regime
+    // the broadcast semi-join-reduce exists for
+    val cand = docs.select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+      .filter(col("a_id") % 50 === 49 - 1)
+    val reduced = Dedup.verifyJaccard(cand, shArr, 1, 2, broadcastIds = true)
+    val phys = reduced.queryExecution.executedPlan.toString
+    // the id semi-join that prunes the array frame must be a broadcast join
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"), phys)
+    // and the reduced plan must emit the identical verified pair set as the
+    // full-corpus attach
+    val full = Dedup.verifyJaccard(cand, shArr, 1, 2, broadcastIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = reduced.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full && got.nonEmpty)
+  }
+
   test("nearDupPairsAuto: exact and LSH routes agree on a planted corpus") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity

@@ -61,4 +61,32 @@ class SkewSpec extends AnyFunSuite {
     val want = pairs(SpatialJoins.broadcastNL(a, b))
     assert(got == want)
   }
+
+  test("hot-corner regime: adaptive == grid-sweep == salted, splits trigger") {
+    val a = Workloads.hotspotPolygons(spark, 20000, seed = 11, mapEdge = 1000.0,
+      hotFrac = 0.5, hotX = 100, hotY = 100, hotW = 2.0, meanEdge = 0.05)
+    val b = Workloads.hotspotPolygons(spark, 20000, seed = 12, mapEdge = 1000.0,
+      hotFrac = 0.5, hotX = 100, hotY = 100, hotW = 2.0, meanEdge = 0.05)
+    val ext = Extent(0, 1001, 0, 1001)
+    val base = CellScheme(ext, 10, 10)
+    val planned = AdaptiveCells.plan(a, b, base, budgetPairs = 100000)
+    assert(planned.splits.nonEmpty, "the hot corner must exceed the pair budget")
+    val adaptive = pairs(SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 100000))
+    val sweep = pairs(SpatialJoins.gridJoinSweep(a, b, base))
+    val salted = pairs(SpatialJoins.gridJoinSalted(a, b, base, salt = 4))
+    assert(adaptive == sweep && adaptive == salted && adaptive.nonEmpty)
+  }
+
+  test("zero-splits gate: even-density input routes to the plain-grid plan") {
+    val a = Workloads.uniformPolygons(spark, 3000, seed = 21, mapEdge = 1000.0)
+    val b = Workloads.uniformPolygons(spark, 3000, seed = 22, mapEdge = 1000.0)
+    val base = CellScheme(Extent(0, 1001, 0, 1001), 8, 8)
+    // huge budget -> no splits planned -> the returned plan must be the
+    // declarative grid join (no typed cogroup), not the two-level cogroup
+    val planned = SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = Long.MaxValue)
+    val phys = planned.queryExecution.executedPlan.toString
+    assert(!phys.contains("CoGroup"), phys)
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(pairs(planned) == want && want.nonEmpty)
+  }
 }
