@@ -182,7 +182,7 @@ object Bench {
     * plans a 100-TB run would use, just bigger).
     */
   private def annAtScale(spark: SparkSession, n: Long)
-      : (Double, Double, Double, Long) = {
+      : (Double, Double, Double, Long, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     // clustered corpus (1000 centers + 20% noise): embedding corpora have
     // neighbor structure — on pure-random vectors all cosines concentrate
@@ -220,10 +220,32 @@ object Bench {
     val (tLsh2k, _) = time {
       graft.ops.Similarity.lshTopK(q2k, emb, k, dim, numPlanes = 64).count()
     }
+    // trained IVF at the same operating point: 1024 Lloyd-trained centroids
+    // (≈√n), 16 probes → ~1.6% of the corpus re-ranked per query. Training +
+    // list assignment are charged as the one-off index build (amortized over
+    // all queries, like LSH's corpus bucketing pass).
+    val (tIvfTrain, (cents, lists)) = time {
+      val c = graft.ops.Similarity.ivfTrainCentroids(emb, 1024, 2)
+      val l = graft.ops.Similarity.ivfLists(emb, c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l.count()
+      (c, l)
+    }
+    val (_, ivf32) = time {
+      graft.ops.Similarity.ivfTopKWithLists(q32, k, cents, nProbe = 16, lists)
+        .select(col("q_id"), col("c_id")).collect()
+    }
+    val ivfHit = ivf32.map(r => (r.getLong(0), r.getLong(1))).count(bfSet.contains)
+    val ivfRecallMilli = if (bfSet.isEmpty) 0L else math.round(1000.0 * ivfHit / bfSet.size)
+    val (tIvf2k, _) = time {
+      graft.ops.Similarity.ivfTopKWithLists(q2k, k, cents, nProbe = 16, lists).count()
+    }
+    lists.unpersist()
     emb.unpersist()
     // brute force at 2000 queries extrapolates from the 32-query run
     // (cost is linear in queries; running it would dominate the bench)
-    (tLsh2k, tBf32 * 2000.0 / 32.0, recallMilli / 1000.0, n)
+    (tLsh2k, tBf32 * 2000.0 / 32.0, recallMilli / 1000.0, n,
+     tIvf2k, ivfRecallMilli / 1000.0, tIvfTrain)
   }
 
   /** Dedup at corpus scale (1M synthetic web-text docs, ~0.8 GB of text):
@@ -368,7 +390,8 @@ object Bench {
     val (tGenOsm, tOsmSweep, tOsmBsp, tOsmAdaptive, resOsm, osmCountsMatch) =
       headlineDense(spark, benchN)
     val (tKnn, knnRounds, knnRows) = knnAtScale(spark, benchN / 10, benchN)
-    val (tAnnLsh, tAnnBf, annRecall, annN) = annAtScale(spark, benchN / 10)
+    val (tAnnLsh, tAnnBf, annRecall, annN, tAnnIvf, annIvfRecall, tAnnIvfTrain) =
+      annAtScale(spark, benchN / 10)
     val (corpusBytes, tExact, exactShuffle, nExact, tMinhash, minhashShuffle,
          nMinhashPairs, tCc, nComponents) =
       dedupAtScale(spark, math.max(benchN / 10, 10000L))
@@ -433,7 +456,9 @@ object Bench {
       s""""knn_sec":$tKnn,"knn_rounds":$knnRounds,"knn_rows":$knnRows,""" +
       s""""knn_rows_per_sec":${knnRows / tKnn},""" +
       s""""ann_n":$annN,"ann_queries":2000,"ann_lsh_sec":$tAnnLsh,""" +
-      s""""ann_bf_extrapolated_sec":$tAnnBf,"ann_recall_at_10":$annRecall}"""
+      s""""ann_bf_extrapolated_sec":$tAnnBf,"ann_recall_at_10":$annRecall,""" +
+      s""""ann_ivf_sec":$tAnnIvf,"ann_ivf_recall_at_10":$annIvfRecall,""" +
+      s""""ann_ivf_train_sec":$tAnnIvfTrain}"""
     val dedup =
       s"""{"docs":${math.max(benchN / 10, 10000L)},"corpus_bytes":$corpusBytes,""" +
       s""""exact_sec":$tExact,"exact_shuffle_bytes":$exactShuffle,"exact_survivors":$nExact,""" +
@@ -490,6 +515,7 @@ object Bench {
          || same workload: BSP / adaptive | ${f"$tOsmBsp%.2f"} s (${f"${resOsm / tOsmBsp / 1e6}%.1f"} M/s) / ${f"$tOsmAdaptive%.2f"} s (adaptive pays its hot-cell planning pass; no payoff on even density) — counts match: $osmCountsMatch |
          || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s, $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s) |
          || ANN top-10 over $annN clustered 64-dim embeddings, 2000 queries | LSH ${f"$tAnnLsh%.2f"} s vs brute-force ${f"$tAnnBf%.1f"} s (extrapolated from a 32-query exact run — linear in queries); recall@10 = ${f"$annRecall%.3f"} vs exact |
+         || same queries via TRAINED IVF (1024 Lloyd centroids ×2 iters, nProbe=16 → ~1.6% of corpus re-ranked/query) | ${f"$tAnnIvf%.2f"} s, recall@10 = ${f"$annIvfRecall%.3f"}; one-off train+index build ${f"$tAnnIvfTrain%.2f"} s (amortized, like LSH's corpus bucketing) |
          || Connected components (min-id label prop) over the minhash pairs | ${f"$tCc%.2f"} s, $nComponents components over ${math.max(benchN / 10, 10000L)} docs |
          || Dedup @ ${math.max(benchN / 10, 10000L)} docs (${f"${corpusBytes / 1e9}%.2f"} GB text): exact | ${f"$tExact%.2f"} s, shuffle ${f"${exactShuffle / 1e6}%.1f"} MB = ${f"${exactShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc vs ${f"${corpusBytes * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc of text (shuffle ∝ hashes, never text) |
          || Dedup minhash-LSH (64 perm / 16 band + exact verify) | ${f"$tMinhash%.2f"} s, $nMinhashPairs pairs, shuffle ${f"${minhashShuffle / 1e6}%.1f"} MB (${f"${minhashShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc — constant per doc, independent of doc length) |

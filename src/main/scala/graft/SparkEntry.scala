@@ -157,6 +157,13 @@ object SparkEntry {
       val e = embs(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, 5, 64)
     }),
+    // IVF with a TRAINED (2-iteration Lloyd) coarse quantizer — the oracle
+    // replays the training itself (unrolled CTE chain), not just the probe
+    "embed_ivf_trained" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopKTrained(e.filter(col("vec_id") < 20), e, 5,
+        nCentroids = 16, nProbe = 4, iters = 2)
+    }),
     // Near-dup pairs over planted dups. The driver gate compares against the
     // EXACT all-pairs oracle, and LSH banding recall at the 0.95 threshold
     // BOUNDARY is < 1 for any finite banding — an unplanted boundary pair in
@@ -521,6 +528,8 @@ object SparkEntry {
     "embed_topk"    -> Similarity.bruteForceTopKSql(20, 5, 64),
     "embed_lsh_topk" -> Similarity.lshTopKSql(20, 5, 64),
     "embed_ivf_topk" -> Similarity.ivfTopKSql(20, 5, 64),
+    "embed_ivf_trained" -> Similarity.ivfTopKTrainedSql(20, 5, 64,
+      nCentroids = 16, nProbe = 4, iters = 2),
     "embed_lsh_multiprobe" -> Similarity.lshTopKMultiProbeSql(20, 5, 64),
     "corpus_sample" ->
       (s"SELECT doc_id FROM documents WHERE " +

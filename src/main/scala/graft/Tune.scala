@@ -94,6 +94,29 @@ object Tune {
       t("salted x32")(SpatialJoins.gridJoinSalted(ha, hb, base, salt = 32).count())
       spark.stop(); return
     }
+    if (args.contains("ivf")) {
+      a.unpersist(); b.unpersist()
+      import org.apache.spark.sql.functions._
+      val dim = 64
+      def u(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => u(pmod(col("id"), lit(1000L)) * dim + j) + u(col("id") * dim + j + lit(7919L)) * 0.05)
+          .as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"emb: ${emb.count()}")
+      val t0 = System.nanoTime()
+      val cents = graft.ops.Similarity.ivfTrainCentroids(emb, 1024, 2)
+      println(f"train: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val lists = graft.ops.Similarity.ivfLists(emb, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("ivf index build")(lists.count())
+      val q2k = emb.filter(col("vec_id") < 2000)
+      t("ivf 2000q warm")(graft.ops.Similarity.ivfTopKWithLists(q2k, 10, cents, 16, lists).count())
+      t("ivf 2000q")(graft.ops.Similarity.ivfTopKWithLists(q2k, 10, cents, 16, lists).count())
+      spark.stop(); return
+    }
     if (args.contains("stripes")) {
       println(s"gen: ${a.count()} x ${b.count()}")
       val scheme = CellScheme.stripesY(ext, 10000)

@@ -271,6 +271,196 @@ object Similarity {
        |  FROM cand
        |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
 
+  // ---- trained IVF (Lloyd k-means coarse quantizer) -------------------------
+
+  /** `argmax_k dot(embedding, cent_k)`, ties → smaller k — ONE native
+    * expression over the flattened centroid table
+    * ([[graft.functions.BestCentroid]]), so corpus-to-list assignment is a
+    * pure scan projection with NO crossJoin/window/shuffle: the plan a
+    * 10⁹-vector corpus needs. (A declarative `greatest` over nCentroids
+    * `struct(dot, -k)` columns re-quantized the vector per centroid and fell
+    * out of codegen — measured 118 s vs ~2 s per 1M-row pass.)
+    */
+  private def bestCentroidCol(cents: Array[Array[Long]]): Column = {
+    require(cents.length >= 2, "need at least two centroids")
+    graft.functions.BestCentroid(col("embedding"),
+      cents.flatten.toSeq, cents.head.length)
+  }
+
+  /** Deterministic Lloyd training of the IVF coarse quantizer (the r3
+    * verdict's "train the IVF quantizer" item). Init = the first
+    * `nCentroids` corpus vectors (quantized); each iteration assigns every
+    * corpus vector to its argmax-dot centroid (ties → smaller id) in one
+    * scan, then recomputes each centroid component as
+    * `floor(Σ xᵢ / count)` — floor over the SAME double division the DuckDB
+    * oracle replays, so training is bit-replayable end-to-end. Component
+    * sums of quantized longs are exact and order-independent; an emptied
+    * centroid keeps its previous components. Driver-side state is the
+    * nCentroids×dim centroid table only (bounded, tiny by construction);
+    * per-iteration cost is one corpus scan + one ≤nCentroids·dim-row
+    * aggregate.
+    */
+  def ivfTrainCentroids(corpus: DataFrame, nCentroids: Int,
+                        iters: Int): Array[Array[Long]] = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init = the first nCentroids rows by vec_id (works on sampled corpora
+    // too; on a dense-id corpus this is exactly `vec_id < nCentroids`, which
+    // is what the oracle replays)
+    var cents: Array[Array[Long]] = base
+      .orderBy("vec_id").limit(nCentroids).select(quantized(col("embedding")))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(cents.length == nCentroids,
+      s"corpus has only ${cents.length} of $nCentroids init vectors")
+    for (_ <- 1 to iters) {
+      // assignment MUST sit in its own projection BELOW the explode: with
+      // `select(bestCent, posexplode(q))` ExtractGenerator hoists the
+      // non-generator expressions into the Project ABOVE Generate, so the
+      // nCentroids·dim argmax would re-run once per EXPLODED element (×dim —
+      // measured 100 s vs 2 s per 1M-row pass at 1024 centroids; same trap
+      // class as the HOF-lambda re-eval)
+      val assigned = base.select(bestCentroidCol(cents).as("cent_id"),
+        quantized(col("embedding")).as("qv"))
+      val sums = assigned.select(col("cent_id"), posexplode(col("qv")))
+        .toDF("cent_id", "i", "x")
+        .groupBy("cent_id", "i")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect() // bounded: ≤ nCentroids × dim rows
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        // floor of the double division — exact match with the oracle's
+        // CAST(floor(sx::DOUBLE / cnt) AS BIGINT); |sx| < 2^53 at any
+        // realistic corpus (|x| ≤ ~2000 quantized units per component)
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+      cents = next
+    }
+    base.unpersist(blocking = false)
+    cents
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer ([[ivfTrainCentroids]]; the
+    * untrained [[ivfTopK]] remains the training-free plan-shape baseline).
+    * List assignment and query probing evaluate the centroid table as plan
+    * LITERALS — the corpus is scored in one scan projection with no
+    * crossJoin and no shuffle; candidates ∝ corpus/nCentroids · nProbe.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     iters: Int = 2): DataFrame = {
+    val cents = ivfTrainCentroids(corpus, nCentroids, iters)
+    ivfTopKWithCentroids(queries, corpus, k, cents, nProbe)
+  }
+
+  /** Inverted-list top-k under an explicit centroid table (shared by the
+    * trained path and any externally-supplied quantizer).
+    */
+  /** The inverted-list table `(c_id, cent_id, c_emb)` — one scan projection,
+    * the persistable IVF index (the reference's tree_A.bin-style build/probe
+    * split). At large nCentroids the assignment is the expensive pass
+    * (nCentroids·dim madds per row); build once, cache, query many times.
+    */
+  def ivfLists(corpus: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    corpus.select(col("vec_id").as("c_id"),
+      graft.functions.BestCentroid(col("embedding"),
+        cents.flatten.toSeq, cents.head.length).as("cent_id"),
+      col("embedding").as("c_emb"))
+
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
+                           cents: Array[Array[Long]], nProbe: Int): DataFrame =
+    ivfTopKWithLists(queries, k, cents, nProbe, ivfLists(corpus, cents))
+
+  /** [[ivfTopKWithCentroids]] against a prebuilt (typically cached)
+    * [[ivfLists]] index. Probes (with their query vectors — a nProbe·|Q| row
+    * table) BROADCAST onto the list scan, so scoring is ONE streaming stage
+    * over the cached index with no candidate shuffle at all; only the slim
+    * `(q_id, c_id, dot)` rows reach the top-k window. (The r4 first cut
+    * attached embeddings via two shuffled equi-joins + a wide window —
+    * 75 s → 8 s at 2000 queries × 1M vectors × 1024 centroids.)
+    */
+  def ivfTopKWithLists(queries: DataFrame, k: Int,
+                       cents: Array[Array[Long]], nProbe: Int,
+                       lists: DataFrame): DataFrame = {
+    val dim = cents.head.length
+    val flat = cents.flatten.toSeq
+    val qd = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        posexplode(graft.functions.CentroidDots(col("embedding"), flat, dim)))
+      .toDF("q_id", "q_emb", "cent_id", "cdot")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdot").desc, col("cent_id"))
+    val probes = qd.withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cent_id"))
+    val scored = lists.join(broadcast(probes), "cent_id")
+      .select(col("q_id"), col("c_id"), qdot(col("q_emb"), col("c_emb")).as("dot"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("dot"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB oracle replaying [[ivfTopKTrained]] END-TO-END — the Lloyd
+    * iterations are unrolled as CTE chains (`cg0 → ag0 → cg1 → …`), each
+    * assignment the same argmax with the same tie-break, each centroid
+    * update the same floor-averaged integer components with COALESCE
+    * keeping emptied centroids — so the oracle verifies the TRAINING, not
+    * just the probe/re-rank.
+    */
+  def ivfTopKTrainedSql(nQueries: Int, k: Int, dim: Int,
+                        nCentroids: Int = 16, nProbe: Int = 4,
+                        iters: Int = 2): String = {
+    val train = (0 until iters).map { t =>
+      s"""cd$t AS (
+         |  SELECT e.vec_id, c.cent_id, sum(e.x * c.x) AS d
+         |  FROM ev e JOIN cg$t c USING (i) GROUP BY 1, 2
+         |), ag$t AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS r
+         |    FROM cd$t
+         |  ) WHERE r = 1
+         |), cg${t + 1} AS (
+         |  SELECT c.cent_id, c.i,
+         |         COALESCE(CAST(floor(CAST(s.sx AS DOUBLE) / s.cnt) AS BIGINT), c.x) AS x
+         |  FROM cg$t c LEFT JOIN (
+         |    SELECT a.cent_id, e.i, sum(e.x) AS sx, count(*) AS cnt
+         |    FROM ag$t a JOIN ev e ON e.vec_id = a.vec_id GROUP BY 1, 2
+         |  ) s ON s.cent_id = c.cent_id AND s.i = c.i
+         |)""".stripMargin
+    }.mkString(", ")
+    val cgN = s"cg$iters"
+    s"""WITH ev AS (
+       |  SELECT vec_id, i, CAST(round(embedding[i] * 1000) AS BIGINT) AS x
+       |  FROM embeddings, range(1, ${dim + 1}) r(i)
+       |), cg0 AS (
+       |  SELECT vec_id AS cent_id, i, x FROM ev WHERE vec_id < $nCentroids
+       |), $train, cdN AS (
+       |  SELECT e.vec_id, c.cent_id, sum(e.x * c.x) AS d
+       |  FROM ev e JOIN $cgN c USING (i) GROUP BY 1, 2
+       |), lists AS (
+       |  SELECT vec_id AS c_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS r
+       |    FROM cdN
+       |  ) WHERE r = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id) AS r
+       |    FROM cdN WHERE vec_id < $nQueries
+       |  ) WHERE r <= $nProbe
+       |), cand AS (
+       |  SELECT p.q_id, l.c_id, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM probes p JOIN lists l ON l.cent_id = p.cent_id
+       |       JOIN ev a ON a.vec_id = p.q_id
+       |       JOIN ev b ON b.vec_id = l.c_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, c_id, dot, rank FROM (
+       |  SELECT q_id, c_id, dot,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS rank
+       |  FROM cand
+       |) WHERE rank <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** The exact cosine-threshold filter on a pair frame carrying
     * `(a_id, b_id, a_q, a_n2, b_q, b_n2)`: normalized quantized dot ≥
     * threshold (in thousandths), integer compare via cross-multiplication of

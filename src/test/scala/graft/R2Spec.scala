@@ -163,6 +163,21 @@ class R2OpsSpec extends AnyFunSuite {
       autoPlan)
   }
 
+  test("ivfTrainCentroids is deterministic and keeps emptied centroids") {
+    assume(haveData)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c1 = Similarity.ivfTrainCentroids(e, 16, 2)
+    val c2 = Similarity.ivfTrainCentroids(e, 16, 2)
+    assert(c1.length == 16 && c1.forall(_.length == 64))
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "training must be bit-deterministic (the oracle replays it)")
+    // trained IVF returns a full ranked top-k per query
+    val out = Similarity.ivfTopKTrained(e.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        e, 5, nCentroids = 16, nProbe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.length == 25 && out.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(1L to 5L)))
+  }
+
   test("jaccardPairsPrefix == jaccardPairs on the sf0.01 corpus") {
     assume(haveData)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
