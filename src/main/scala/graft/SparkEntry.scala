@@ -310,6 +310,24 @@ object SparkEntry {
         .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),
                 col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
     }),
+    // OSM-dump ingest with the reference's skip rules (process_OSM.py:50-116)
+    // — id \t WKT \t tags lines, tag noise never reaches the coordinates
+    "source_osm_ingest" -> ((s, dir) => {
+      val g = partRects.load(s, dir)
+      val lines = g.select(concat_ws("\t", col("id"),
+        graft.sources.Traces.toWkt(col("xmin"), col("xmax"), col("ymin"), col("ymax")),
+        lit("[building#yes,addr:postcode#01067,contact:phone#+49 351 86420]")).as("value"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_osm_${dir.hashCode}"
+      lines.write.mode("overwrite").text(path)
+      graft.sources.Traces.readOsmWkt(s, path).toDF()
+    }),
+    // External-interchange `gid;geom` CSV sink (data_gen.py:77-81) + reader
+    "source_gid_geom_csv" -> ((s, dir) => {
+      val g = partRects.load(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidgeom_${dir.hashCode}"
+      graft.sources.Traces.writeGidGeomCsv(g, path)
+      graft.sources.Traces.readGidGeomCsv(s, path).toDF()
+    }),
     // S2: reference 64-B-page binary object trace, write + distributed scan
     "source_binary_trace" -> ((s, dir) => {
       val g = customerPoints.load(s, dir)
@@ -595,6 +613,17 @@ object SparkEntry {
     "source_wkt_roundtrip" ->
       (s"SELECT id, round(xmin, 2) AS xmin, round(xmax, 2) AS xmax, " +
         s"round(ymin, 2) AS ymin, round(ymax, 2) AS ymax FROM (${partRects.sqlSelect})"),
+    // OSM ingest: %.2f WKT text round-trip (all derived rects are valid
+    // 5-pair polygons, so none of the skip rules fire on this input)
+    "source_osm_ingest" ->
+      (s"SELECT id, round(xmin, 2) AS xmin, round(xmax, 2) AS xmax, " +
+        s"round(ymin, 2) AS ymin, round(ymax, 2) AS ymax FROM (${partRects.sqlSelect})"),
+    // gid;geom CSV: %.2f text + float32 read-back narrowing
+    "source_gid_geom_csv" ->
+      (s"SELECT id, CAST(CAST(round(xmin, 2) AS REAL) AS DOUBLE) AS xmin, " +
+        s"CAST(CAST(round(xmax, 2) AS REAL) AS DOUBLE) AS xmax, " +
+        s"CAST(CAST(round(ymin, 2) AS REAL) AS DOUBLE) AS ymin, " +
+        s"CAST(CAST(round(ymax, 2) AS REAL) AS DOUBLE) AS ymax FROM (${partRects.sqlSelect})"),
     // serialized-tree scan: leaf objects = input set under float32 narrowing
     "source_tree_scan" ->
       (s"SELECT id, CAST(CAST(xmin AS REAL) AS DOUBLE) AS xmin, " +

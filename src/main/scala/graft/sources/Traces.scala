@@ -186,4 +186,66 @@ object Traces {
               col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
       .as[Geom]
   }
+
+  /** OSM-dump ingest (reference `data_gen/process_OSM.py:50-116`): lines are
+    * `obj_id \t WKT \t [tags]`; the MBR comes from the WKT coordinates ONLY
+    * (tags carry free text full of numbers — postcodes, phone numbers — and
+    * must never reach the coordinate regex). A line is dropped when it
+    * mirrors any of the reference's skip rules:
+    *   1. contains `GEOMETRYCOLLECTION`, or has no `POLYGON` at all
+    *      (`process_OSM.py:53-57`);
+    *   2. has fewer than 5 coordinate pairs (`:93` — the reference's intent
+    *      is skip; its code actually falls through with valid=True and a
+    *      zero extent, which its callers never emit — we drop outright);
+    *   3. any coordinate token fails float parsing (`:103-107`) — covered
+    *      here by the numeric regex plus the even-count check;
+    *   4. has no id / WKT field (malformed tab structure).
+    * Unexpected extra spaces between coordinates are tolerated, as in the
+    * reference's pair-cleaning loop (`:97-101`).
+    */
+  def readOsmWkt(spark: SparkSession, path: String): Dataset[Geom] = {
+    import spark.implicits._
+    val parts = split(col("value"), "\t")
+    // try_element_at: a tab-less malformed line must drop, not throw (ANSI)
+    val poly = try_element_at(parts, lit(2))
+    val id = try_element_at(parts, lit(1)).cast("long")
+    spark.read.text(path)
+      .filter(!col("value").contains("GEOMETRYCOLLECTION") &&
+        col("value").contains("POLYGON") && size(parts) >= 2 && id.isNotNull)
+      .select(id.as("id"), poly.as("poly"),
+        size(regexp_extract_all(poly, lit(numRe), lit(0))).as("ncoord"))
+      .filter(col("ncoord") >= 10 && col("ncoord") % 2 === 0) // ≥ 5 (x, y) pairs
+      .select(col("id"), parseWktMbr(col("poly")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),
+              col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
+      .as[Geom]
+  }
+
+  /** External-interchange sink (reference `data_gen/data_gen.py:77-81`): the
+    * `gid;geom` CSV consumed by PostGIS-style loaders — header line, `;`
+    * separator, `%.2f` WKT polygons in the reference's corner order
+    * (xlo ylo → xlo yhi → xhi yhi → xhi ylo → close).
+    */
+  def writeGidGeomCsv(ds: Dataset[Geom], path: String): Unit =
+    ds.toDF().select(col("id").as("gid"),
+        toWkt(col("xmin"), col("xmax"), col("ymin"), col("ymax")).as("geom"))
+      .write.mode("overwrite")
+      .option("sep", ";").option("header", "true")
+      .csv(path)
+
+  /** Round-trip reader for [[writeGidGeomCsv]] output. Coordinates pass
+    * through float32 (like every reference trace consumer of the `%.2f`
+    * text formats), so a written trace reads back bit-identically.
+    */
+  def readGidGeomCsv(spark: SparkSession, path: String): Dataset[Geom] = {
+    import spark.implicits._
+    def f32(c: Column) = c.cast("float").cast("double")
+    spark.read.option("sep", ";").option("header", "true").csv(path)
+      .select(col("gid").cast("long").as("id"), parseWktMbr(col("geom")).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("id"), f32(col("m.xmin")).as("xmin"), f32(col("m.xmax")).as("xmax"),
+              f32(col("m.ymin")).as("ymin"), f32(col("m.ymax")).as("ymax"))
+      .as[Geom]
+  }
 }

@@ -58,4 +58,61 @@ class SourcesSpec extends AnyFunSuite {
     assert(read.exists(g => g.xmin == 1.0 && g.ymin == 2.0 && g.xmin == g.xmax))
     assert(read.exists(g => g.xmin == 0.0 && g.xmax == 1.0))
   }
+
+  test("OSM ingest: every process_OSM.py skip rule enumerated") {
+    val dir = java.nio.file.Files.createTempDirectory("osm")
+    val lines = Seq(
+      // 1. valid polygon, 5 coordinate pairs, numeric tag noise must be ignored
+      "5786\tPOLYGON ((13.73 51.04, 13.72 51.05, 13.71 51.03, 13.74 51.02, 13.73 51.04))\t[addr:postcode#01067,contact:phone#+49 351 86420]",
+      // 2. GEOMETRYCOLLECTION -> skip (process_OSM.py:53)
+      "5787\tGEOMETRYCOLLECTION (POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1)))\t[]",
+      // 3. no POLYGON at all -> skip (:53)
+      "5788\tPOINT (13.7 51.0)\t[]",
+      // 4. fewer than 5 coordinate pairs -> skip (:93)
+      "5789\tPOLYGON ((1.0 1.0, 1.0 2.0, 2.0 2.0, 1.0 1.0))\t[]",
+      // 5. unparseable coordinate token -> skip (:103-107)
+      "5790\tPOLYGON ((1.0 xx, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
+      // 6. extra internal spaces tolerated (:97-101)
+      "5791\tPOLYGON ((1.0  1.0, 1.0 4.0, 3.0 4.0, 3.0 1.0, 1.0 1.0))\t[]",
+      // 7. malformed line without tabs -> skip
+      "POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1))")
+    java.nio.file.Files.writeString(dir.resolve("osm.txt"), lines.mkString("\n") + "\n")
+    val read = Traces.readOsmWkt(spark, dir.toString).collect().sortBy(_.id)
+    assert(read.map(_.id).toSeq == Seq(5786L, 5791L))
+    val g = read.find(_.id == 5786L).get
+    assert(g.xmin == 13.71 && g.xmax == 13.74 && g.ymin == 51.02 && g.ymax == 51.05)
+    val h = read.find(_.id == 5791L).get
+    assert(h.xmin == 1.0 && h.xmax == 3.0 && h.ymin == 1.0 && h.ymax == 4.0)
+  }
+
+  test("gid;geom CSV interchange sink round-trips") {
+    val g = graft.ingest.Workloads.uniformPolygons(spark, 300, 456)
+    val dir = java.nio.file.Files.createTempDirectory("gidgeom").resolve("out").toString
+    Traces.writeGidGeomCsv(g, dir)
+    // the reference header (data_gen.py:70) and `;` separator survive
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".csv")).get
+    val first = scala.io.Source.fromFile(part.toFile).getLines().take(2).toSeq
+    assert(first.head == "gid;geom")
+    assert(first(1).matches("\\d+;POLYGON\\(\\(.*\\)\\)"))
+    val back = Traces.readGidGeomCsv(spark, dir).collect().sortBy(_.id)
+    val orig = g.collect().sortBy(_.id)
+    // generator coords are float32-exact at 2 decimals -> exact round-trip
+    assert(back.length == 300)
+    (back zip orig).foreach { case (b, o) => assert(b == o, s"$b != $o") }
+  }
+
+  test("Arrow batch seam: arrow-routed features == direct mapPartitions features") {
+    val docs = graft.ingest.Workloads.syntheticDocs(spark, 700, tokensPerDoc = 20)
+    val media = graft.ops.Multimodal.mediaFromDocuments(docs)
+    def key(f: graft.ops.MediaFeatures) =
+      (f.doc_id, f.kind, f.n_bytes, f.checksum, f.histogram.toSeq)
+    val direct = graft.ops.Multimodal.extractFeatures(media).collect().map(key).toSet
+    // batchSize 64 forces several multi-batch partitions through the
+    // VectorSchemaRoot round-trip
+    val arrow = graft.ops.Multimodal.extractFeaturesArrow(media, batchSize = 64)
+      .collect().map(key).toSet
+    assert(arrow == direct && direct.size == 700)
+  }
 }
