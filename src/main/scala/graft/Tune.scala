@@ -117,6 +117,19 @@ object Tune {
       t("ivf 2000q")(graft.ops.Similarity.ivfTopKWithLists(q2k, 10, cents, 16, lists).count())
       spark.stop(); return
     }
+    if (args.contains("prefix")) {
+      a.unpersist(); b.unpersist()
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+      println(s"docs=${docs.count()}")
+      t("prefix full")(graft.ops.Dedup.jaccardPairsPrefix(docs, 3, 1, 2).count())
+      t("prefix full 2nd")(graft.ops.Dedup.jaccardPairsPrefix(docs, 3, 1, 2).count())
+      // phase split: candidates alone vs verify alone
+      val shArr = graft.ops.Dedup.shingleFrame(docs, 3, "doc_id", "text")
+        .filter(size(col("shs")) > 0).cache()
+      t("shingle pass")(shArr.count())
+      spark.stop(); return
+    }
     if (args.contains("stripes")) {
       println(s"gen: ${a.count()} x ${b.count()}")
       val scheme = CellScheme.stripesY(ext, 10000)
