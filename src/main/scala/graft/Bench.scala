@@ -108,7 +108,7 @@ object Bench {
     * that does not pay off on this even-density workload — reported as-is).
     */
   private def headlineDense(spark: SparkSession, n: Long)
-      : (Double, Double, Double, Double, Long, Boolean) = {
+      : (Double, Seq[Double], Double, Double, Long, Boolean) = {
     val ext = Extent(0, 10003, 0, 10003)
     val a = Workloads.gaussianPolygons(spark, n, 1, meanEdge = 8.0, parts = 64).cache()
     val b = Workloads.gaussianPolygons(spark, n, 2, meanEdge = 8.0, parts = 64).cache()
@@ -133,7 +133,7 @@ object Bench {
     val s1 = Seq(s1a, s1b, s1c)
     val res = s1.head._2
     a.unpersist(); b.unpersist()
-    (tGen, s1.map(_._1).min, tB, tA, res, res == rB && res == rA)
+    (tGen, s1.map(_._1), tB, tA, res, res == rB && res == rA)
   }
 
   /** Exact kNN at scale: ring-expansion join of `nq` query points against an
@@ -393,8 +393,9 @@ object Bench {
     val big = headline(spark, benchN, runs = 5, stripeRuns = 2)
     val (tGenBig, pipBig, resBig, ppBig, resPP) =
       (big.genSec, big.pip, big.pipResults, big.pp, big.ppResults)
-    val (tGenOsm, tOsmSweep, tOsmBsp, tOsmAdaptive, resOsm, osmCountsMatch) =
+    val (tGenOsm, osmSweepSamples, tOsmBsp, tOsmAdaptive, resOsm, osmCountsMatch) =
       headlineDense(spark, benchN)
+    val tOsmSweep = osmSweepSamples.min
     val (tKnn, knnRounds, knnRows) = knnAtScale(spark, benchN / 10, benchN)
     val (tAnnLsh, tAnnBf, annRecall, annN, tAnnIvf, annIvfRecall, tAnnIvfTrain) =
       annAtScale(spark, benchN / 10)
@@ -455,6 +456,7 @@ object Bench {
       s""""stripes_sec":$tStripes,"stripes_direction":"${big.stripeDir}",""" +
       s""""stripes_results":${big.stripesResults},""" +
       s""""osm_pp_gen_sec":$tGenOsm,"osm_pp_sweep_sec":$tOsmSweep,""" +
+      s""""osm_pp_sweep_samples":${jArr(osmSweepSamples)},""" +
       s""""osm_pp_bsp_sec":$tOsmBsp,"osm_pp_adaptive_sec":$tOsmAdaptive,""" +
       s""""osm_pp_results":$resOsm,""" +
       s""""osm_pp_result_rows_per_sec":${resOsm / tOsmSweep},""" +
@@ -517,7 +519,7 @@ object Bench {
          || joined input rows/s @ local[$cpus] | ${f"${rowsPerSec / 1e6}%.2f"} M |
          || Uniform PP ${benchN}×$benchN join / results | ${f"$tPP%.3f"} s / $resPP (${f"${resPP / tPP / 1e6}%.2f"} M results/s) |
          || 1-D stripes (J5, 10,000 stripes, direction '${big.stripeDir}') Uniform PIP | ${f"$tStripes%.3f"} s / ${big.stripesResults} results (reference CPU 16t: 3.646 s; its stripe-tuned best 1.773 s) |
-         || **OUTPUT-HEAVY (OSM-PP-class)**: gaussian ${benchN}×$benchN, ~${resOsm / 1000000}M result pairs | grid+sweep ${f"$tOsmSweep%.2f"} s = **${f"${resOsm / tOsmSweep / 1e6}%.1f"} M result rows/s** (reference OSM PP 292.5M pairs at 23.2 M result rows/s, i.e. reference is ${f"${23.2e6 * tOsmSweep / resOsm}%.2f"}× faster — rule: within 2×) |
+         || **OUTPUT-HEAVY (OSM-PP-class)**: gaussian ${benchN}×$benchN, ~${resOsm / 1000000}M result pairs | grid+sweep ${f"$tOsmSweep%.2f"} s (min of interleaved samples ${osmSweepSamples.map(t => f"$t%.2f").mkString("/")}) = **${f"${resOsm / tOsmSweep / 1e6}%.1f"} M result rows/s** (reference OSM PP 292.5M pairs at 23.2 M result rows/s, i.e. reference is ${f"${23.2e6 * tOsmSweep / resOsm}%.2f"}× faster — rule: within 2×) |
          || same workload: BSP / adaptive | ${f"$tOsmBsp%.2f"} s (${f"${resOsm / tOsmBsp / 1e6}%.1f"} M/s) / ${f"$tOsmAdaptive%.2f"} s (adaptive pays its hot-cell planning pass; no payoff on even density) — counts match: $osmCountsMatch |
          || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s, $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s) |
          || ANN top-10 over $annN clustered 64-dim embeddings, 2000 queries | LSH ${f"$tAnnLsh%.2f"} s vs brute-force ${f"$tAnnBf%.1f"} s (extrapolated from a 32-query exact run — linear in queries); recall@10 = ${f"$annRecall%.3f"} vs exact |
