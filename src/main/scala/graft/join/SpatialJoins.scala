@@ -331,16 +331,27 @@ object SpatialJoins {
     * Emits exactly the pair set of [[cogroupSchemeJoin]] (spec-asserted).
     */
   def gridJoinSweep(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
     def rep(ds: Dataset[Geom], p: String, side: Int): DataFrame =
       withCells(prefixed(ds, p), s, p)
-        .select(col("cell"), lit(side).as("side"), col(s"${p}_id").as("id"),
+        .select(col("cell").as("key"), lit(side).as("side"), col(s"${p}_id").as("id"),
           col(s"${p}_xmin").as("xmin"), col(s"${p}_xmax").as("xmax"),
           col(s"${p}_ymin").as("ymin"), col(s"${p}_ymax").as("ymax"))
-    val u = rep(a, "a", 0).unionByName(rep(b, "b", 1))
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "side")
+    keyedPartitionJoin(rep(a, "a", 0).unionByName(rep(b, "b", 1)),
+      (rx, ry) => s.cellOf(rx, ry))
+  }
+
+  /** Reduce side of the repartition+sort join: the pre-keyed union frame
+    * `(key, side, id, xmin, xmax, ymin, ymax)` is hash-partitioned on the
+    * key, sorted partition-locally, and consumed by a run-grouping iterator
+    * that feeds each key's two sides to the sweep/STR inner loop. `ownerOf`
+    * maps a reference point to its owning key — pairs are kept exactly once,
+    * in their owner key's run.
+    */
+  private def keyedPartitionJoin(u0: DataFrame,
+                                 ownerOf: (Double, Double) => Long): DataFrame = {
+    val spark = u0.sparkSession
+    import spark.implicits._
+    val u = u0.repartition(col("key")).sortWithinPartitions("key", "side")
     u.mapPartitions { rows =>
       new Iterator[Pair] {
         private var cur: org.apache.spark.sql.Row = null
@@ -359,7 +370,7 @@ object SpatialJoins {
               cur = if (rows.hasNext) rows.next() else null
             }
             inner = joinCellOwned(as.toArray, bs.toArray,
-              (rx, ry) => s.cellOf(rx, ry) == cellKey)
+              (rx, ry) => ownerOf(rx, ry) == cellKey)
           }
         }
         def hasNext: Boolean = { fill(); inner.hasNext }
@@ -483,7 +494,59 @@ object SpatialJoins {
       val perCellEst =
         math.max(estRowsFromStats(a), estRowsFromStats(b)) / base.numCells.toDouble
       if (perCellEst > 256.0) gridJoinSweep(a, b, base) else gridJoin(a, b, base)
-    } else cogroupSchemeJoin(a, b, scheme.keysOf, scheme.ownerKey)
+    } else {
+      // declarative two-level replication + the same repartition+sort reduce
+      // as gridJoinSweep — the map side stays in whole-stage codegen instead
+      // of paying the typed-cogroup decode/alloc/encode per replica
+      def rep(ds: Dataset[Geom], p: String, side: Int): DataFrame =
+        withAdaptiveKeys(prefixed(ds, p), scheme, p)
+          .select(col("key"), lit(side).as("side"), col(s"${p}_id").as("id"),
+            col(s"${p}_xmin").as("xmin"), col(s"${p}_xmax").as("xmax"),
+            col(s"${p}_ymin").as("ymin"), col(s"${p}_ymax").as("ymax"))
+      keyedPartitionJoin(rep(a, "a", 0).unionByName(rep(b, "b", 1)),
+        scheme.ownerKey)
+    }
+  }
+
+  /** Replicate rows onto the adaptive two-level `key` as PURE column
+    * expressions — the declarative twin of `AdaptiveScheme.keysOf`, kept in
+    * bit-exact lockstep with it (same base-cell clamping via [[withCells]],
+    * same `lo + cx·cellW` / `cellW / s` / `floor((v−lo)/len)` double
+    * arithmetic, same clamped sub-ranges, same `cell·4096 (+1+sy·s+sx)`
+    * packing). The split table rides as a literal map (splits are few by
+    * construction); unsplit cells take the slot-0 key without touching the
+    * division path.
+    */
+  private[graft] def withAdaptiveKeys(df: DataFrame,
+                                      scheme: graft.skew.AdaptiveScheme,
+                                      p: String): DataFrame = {
+    val base = scheme.base
+    val cells = scheme.splits.keys.toArray.sorted
+    val splitMap = map_from_arrays(
+      array(cells.map(lit(_)): _*),
+      array(cells.map(c => lit(scheme.splits(c))): _*))
+    val s = col("s")
+    val cx = (col("cell") % lit(base.nx.toLong)).cast("double")
+    val cy = floor(col("cell").cast("double") / lit(base.nx.toDouble))
+    val lox = lit(base.extent.xmin) + cx * lit(base.cellW)
+    val loy = lit(base.extent.ymin) + cy * lit(base.cellH)
+    val subW = lit(base.cellW) / s.cast("double")
+    val subH = lit(base.cellH) / s.cast("double")
+    def sub(v: Column, lo: Column, len: Column): Column =
+      least(greatest(floor((v - lo) / len).cast("long"), lit(0L)),
+        (s - 1).cast("long"))
+    withCells(df, base, p)
+      .withColumn("s", coalesce(try_element_at(splitMap, col("cell")), lit(0)))
+      .withColumn("sy", explode(when(s === 0, sequence(lit(0L), lit(0L)))
+        .otherwise(sequence(sub(col(s"${p}_ymin"), loy, subH),
+                            sub(col(s"${p}_ymax"), loy, subH)))))
+      .withColumn("sx", explode(when(s === 0, sequence(lit(0L), lit(0L)))
+        .otherwise(sequence(sub(col(s"${p}_xmin"), lox, subW),
+                            sub(col(s"${p}_xmax"), lox, subW)))))
+      .withColumn("key", when(s === 0, col("cell") * lit(scheme.keyMultiplier))
+        .otherwise(col("cell") * lit(scheme.keyMultiplier) + lit(1L) +
+          col("sy") * s.cast("long") + col("sx")))
+      .drop("s", "sy", "sx", "cell")
   }
 
   // ---- distance join --------------------------------------------------------

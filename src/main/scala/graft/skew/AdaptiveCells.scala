@@ -22,6 +22,11 @@ final case class AdaptiveScheme(base: CellScheme, splits: Map[Long, Int]) {
   private final val SubBits = 12
   require(splits.values.forall(s => s * s < (1 << SubBits) - 1), "split factor too large")
 
+  /** `key = cell * keyMultiplier (+ 1 + subIdx)` — the packing the
+    * declarative replication (`SpatialJoins.withAdaptiveKeys`) must match.
+    */
+  def keyMultiplier: Long = 1L << SubBits
+
   // the split lookup sits on the PER-PAIR hot path (ownership test of every
   // emitted candidate): a scala Map[Long, Int] boxes the key on every get —
   // primitive sorted-array binary search instead (splits are few by

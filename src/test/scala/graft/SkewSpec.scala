@@ -77,6 +77,31 @@ class SkewSpec extends AnyFunSuite {
     assert(adaptive == sweep && adaptive == salted && adaptive.nonEmpty)
   }
 
+  test("declarative adaptive replication == AdaptiveScheme.keysOf (random boundary sweep)") {
+    import org.apache.spark.sql.functions.col
+    val base = CellScheme(Extent(0, 100, 0, 100), 4, 4)
+    val scheme = AdaptiveScheme(base, Map(0L -> 3, 5L -> 2, 10L -> 7))
+    val rnd = new scala.util.Random(17)
+    val gs = (0 until 4000).map { i =>
+      // mix of tiny/large rects, some snapped to cell/subcell boundaries
+      def coord() = {
+        val v = rnd.nextDouble() * 100
+        if (rnd.nextInt(4) == 0) math.floor(v / 25.0 / 3) * 25.0 / 3 else v
+      }
+      val x = coord(); val y = coord()
+      val w = if (rnd.nextBoolean()) rnd.nextDouble() * 2 else rnd.nextDouble() * 40
+      Geom(i.toLong, x, math.min(100, x + w), y, math.min(100, y + w))
+    }
+    import spark.implicits._
+    val df = spark.createDataset(gs).toDF(
+      "a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax")
+    val declarative = SpatialJoins.withAdaptiveKeys(df, scheme, "a")
+      .select(col("a_id"), col("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = gs.flatMap(g => scheme.keysOf(g).map(k => (g.id, k))).toSet
+    assert(declarative == want)
+  }
+
   test("zero-splits gate: even-density input routes to the plain-grid plan") {
     val a = Workloads.uniformPolygons(spark, 3000, seed = 21, mapEdge = 1000.0)
     val b = Workloads.uniformPolygons(spark, 3000, seed = 22, mapEdge = 1000.0)
