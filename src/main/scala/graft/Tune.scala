@@ -203,6 +203,11 @@ object Tune {
     t("warmup")(SpatialJoins.gridJoin(a, b, s16).count())
     for (round <- 1 to 3)
       t(s"smj tpc=16 r$round cores=$cpus")(SpatialJoins.gridJoin(a, b, s16).count())
+    for (tpc <- Seq(64, 256, 1024)) {
+      val sc = CellScheme.forSize(ext, n, targetPerCell = tpc, maxN = 8192)
+      t(s"rsort sweep tpc=$tpc warm")(SpatialJoins.gridJoinSweep(a, b, sc).count())
+      t(s"rsort sweep tpc=$tpc")(SpatialJoins.gridJoinSweep(a, b, sc).count())
+    }
     spark.stop()
   }
 }
