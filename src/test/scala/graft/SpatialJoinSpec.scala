@@ -106,6 +106,23 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(pairs(stripesJoin(a, b, ext, 13)) == oracle)
   }
 
+  test("gridJoinSweep: empty / one-sided / disjoint inputs yield empty") {
+    val ext = Extent(0, 106, 0, 106)
+    val s = CellScheme(ext, 5, 5)
+    val none = randomSet(7, 100, 2.0).filter(_.id < -1)
+    val some = randomSet(8, 100, 2.0)
+    assert(gridJoinSweep(none, none, s).count() == 0L)
+    assert(gridJoinSweep(some, none, s).count() == 0L)
+    assert(gridJoinSweep(none, some, s).count() == 0L)
+    // spatially disjoint halves: cells hold only one side each
+    import TestSpark.spark.implicits._
+    val left = randomSet(9, 200, 1.0, mapLen = 40.0)
+    val right = randomSet(10, 200, 1.0, mapLen = 40.0)
+      .map(g => g.copy(xmin = g.xmin + 60, xmax = g.xmax + 60))(
+        org.apache.spark.sql.Encoders.product[Geom])
+    assert(gridJoinSweep(left, right, s).count() == 0L)
+  }
+
   test("exactly-once: no duplicate pairs at any grid size") {
     val a = randomSet(3, 500, 10.0)
     val b = randomSet(4, 500, 10.0)
