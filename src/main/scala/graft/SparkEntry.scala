@@ -210,6 +210,11 @@ object SparkEntry {
     "events_sliding_agg" -> ((s, dir) =>
       graft.streaming.EventsStream.slidingCounts(
         s.read.parquet(s"$dir/events.parquet"))),
+    // stateful sessionization (flatMapGroupsWithState) with the batch flush —
+    // oracle is the standard gaps-and-islands rewrite
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionize(s,
+        s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30, flushOpen = true)),
     // tile assignments (north rule: "emit identical tile assignments"):
     // the full id -> cell replication set of the a-side
     "spatial_tile_assignments" -> ((s, dir) =>
@@ -580,6 +585,7 @@ object SparkEntry {
     },
     "events_window_agg" -> graft.streaming.EventsStream.windowedCountsSql,
     "events_sliding_agg" -> graft.streaming.EventsStream.slidingCountsSql,
+    "events_sessions" -> graft.streaming.EventsStream.sessionsSql(30),
     "spatial_sql_join"  -> joinOracle(partRects, ordersRects),
     "spatial_sql_within_join" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +

@@ -139,14 +139,32 @@ object Tune {
       spark.stop(); return
     }
     if (args.contains("knn")) {
+      // A/B evidence for the r4 verdict item 7: the ring-expansion loop with
+      // the replicated b-side cached + pre-partitioned per scheme (reuse) vs
+      // rebuilt and re-shuffled every round (rebuild, the r4 behavior).
+      // Shuffle bytes collapse under reuse because round ≥ 2 reads the cached
+      // HashPartitioning(b_cell) frame exchange-free.
       a.unpersist(); b.unpersist()
       val q = Workloads.uniformPoints(spark, n / 10, 555, parts = 2 * cpus).cache()
       val corpus = Workloads.uniformPoints(spark, n, 789, parts = 2 * cpus)
       println(s"knn queries=${q.count()}")
-      val t0 = System.nanoTime()
-      val (df, rounds) = SpatialJoins.knnJoinWithRounds(q, corpus, ext, 3)
-      val rows = df.count()
-      println(f"knn ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows rounds=$rounds")
+      val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffled.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+        }
+      })
+      for (reuse <- Seq(true, false, true, false)) {
+        shuffled.set(0L)
+        val t0 = System.nanoTime()
+        val (df, rounds) = SpatialJoins.knnJoinWithRounds(q, corpus, ext, 3,
+          reuseBRep = reuse)
+        val rows = df.count()
+        Thread.sleep(1500) // drain the listener bus
+        println(f"knn reuseBRep=$reuse%-5s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          f"rows=$rows rounds=$rounds shuffleMB=${shuffled.get / 1e6}%.1f")
+      }
       spark.stop(); return
     }
     if (args.contains("dedup")) {

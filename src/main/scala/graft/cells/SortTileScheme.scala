@@ -76,11 +76,28 @@ private[cells] object SchemeSampling {
               seed: Long): Array[(Double, Double)] = {
     import a.sparkSession.implicits._
     val u = a.unionByName(b)
-    val n = math.max(1L, u.count())
+    // Row count from Catalyst plan statistics — ZERO jobs (the r4 version ran
+    // a full `u.count()` before sampling: a complete read of both inputs at
+    // 100× scale just to size a boundary sample). A small estimate is
+    // CONFIRMED by a bounded count (`limit(4·maxSample+1).count()` reads at
+    // most that many rows however large the input — the intersectJoin
+    // pattern); a large estimate only needs to be large, not exact: the
+    // fraction is a sampling heuristic and the boundaries are a performance
+    // choice, never a correctness input (reference-point ownership dedups
+    // identically under any boundaries).
+    val est = math.max(1.0, graft.join.SpatialJoins.estRowsFromStats(a) +
+      graft.join.SpatialJoins.estRowsFromStats(b))
+    val n =
+      if (est <= 4.0 * maxSample) math.max(1L, u.limit(4 * maxSample + 1).count()).toDouble
+      else est
     val fraction = math.min(1.0, 1.2 * maxSample / n)
+    // head() keeps 4× headroom over the expected sample so a stats
+    // UNDER-estimate (compressed column-pruned scans) must be off by >3× of
+    // the 1.2× margin before the first-partitions bias can appear; a bigger
+    // sample than maxSample only sharpens the quantile cuts.
     u.sample(fraction, seed)
       .select((($"xmin" + $"xmax") / 2).as[Double], (($"ymin" + $"ymax") / 2).as[Double])
-      .head(maxSample)
+      .head(4 * maxSample)
   }
 }
 

@@ -488,11 +488,15 @@ object SpatialJoins {
       // zero hot cells → the two-level key degenerates to the plain grid, so
       // return the plain-grid PLAN instead of paying the typed-cogroup
       // serialization for nothing (on even density the insurance premium is
-      // now just the one sampled planning pass). Inner-loop routing mirrors
-      // intersectJoin: density from Catalyst stats, zero extra jobs. Every
-      // branch emits the identical pair set.
+      // now just the one sampled planning pass). Inner-loop routing uses the
+      // MEASURED occupied-cell mean the planning aggregation already
+      // computed (the Catalyst byte-stats estimate sits exactly on the
+      // 256 boundary for the bench workloads and routes dense cells into the
+      // quadratic SMJ loop); stats remain the fallback when the planner ran
+      // without counts. Every branch emits the identical pair set.
       val perCellEst =
-        math.max(estRowsFromStats(a), estRowsFromStats(b)) / base.numCells.toDouble
+        if (scheme.perCellMean >= 0.0) scheme.perCellMean
+        else math.max(estRowsFromStats(a), estRowsFromStats(b)) / base.numCells.toDouble
       if (perCellEst > 256.0) gridJoinSweep(a, b, base) else gridJoin(a, b, base)
     } else {
       // declarative two-level replication + the same repartition+sort reduce
@@ -521,6 +525,14 @@ object SpatialJoins {
                                       scheme: graft.skew.AdaptiveScheme,
                                       p: String): DataFrame = {
     val base = scheme.base
+    // empty split table: map_from_arrays over two zero-length literals yields
+    // NullType keys and fails analysis in try_element_at — short-circuit to
+    // the slot-0 key (the helper must be total even though gridJoinAdaptive
+    // routes the no-splits case to the plain-grid plan before calling it)
+    if (scheme.splits.isEmpty)
+      return withCells(df, base, p)
+        .withColumn("key", col("cell") * lit(scheme.keyMultiplier))
+        .drop("cell")
     val cells = scheme.splits.keys.toArray.sorted
     val splitMap = map_from_arrays(
       array(cells.map(lit(_)): _*),
@@ -561,7 +573,18 @@ object SpatialJoins {
   /** "within distance r" join (reference J10 `withind`): expand the a-side MBR
     * by r for the grid candidate phase, then exact distance filter.
     */
-  def distanceJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme, r: Double): DataFrame = {
+  def distanceJoin(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme, r: Double): DataFrame =
+    distanceJoinPre(a, bReplicated(b, s), s, r)
+
+  /** The b-side of a distance/kNN join replicated to its cells — split out so
+    * iterating callers ([[knnJoinWithRounds]]) can build it ONCE per scheme,
+    * pre-partition it on the join key and cache it across rounds.
+    */
+  private[graft] def bReplicated(b: Dataset[Geom], s: CellScheme): DataFrame =
+    withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
+
+  private[graft] def distanceJoinPre(a: Dataset[Geom], bc: DataFrame,
+                                     s: CellScheme, r: Double): DataFrame = {
     // expand the a-side MBR only for the candidate phase; the ORIGINAL
     // coordinates ride along untouched for the exact distance check —
     // restoring them arithmetically ((x - r) + r) would perturb them by ulps
@@ -572,7 +595,6 @@ object SpatialJoins {
       .withColumn("a_xmin", col("a_xmin") - lit(r)).withColumn("a_xmax", col("a_xmax") + lit(r))
       .withColumn("a_ymin", col("a_ymin") - lit(r)).withColumn("a_ymax", col("a_ymax") + lit(r))
     val ac = withCells(ac0, s, "a")
-    val bc = withCells(prefixed(b, "b"), s, "b").withColumnRenamed("cell", "b_cell")
     // candidate = expanded-MBR intersect; dedup by ownership on the expanded pair
     ac.join(bc, col("cell") === col("b_cell") && intersectPred && ownsPred(s, col("cell")))
       .withColumn("a_xmin", col("a_oxmin")).withColumn("a_xmax", col("a_oxmax"))
@@ -599,11 +621,27 @@ object SpatialJoins {
     * in O(log(extent/r0)) rounds with bounded driver work.
     */
   def knnJoinWithRounds(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, k: Int,
-                        bCountHint: Long = -1L): (DataFrame, Int) = {
+                        bCountHint: Long = -1L,
+                        reuseBRep: Boolean = true): (DataFrame, Int) = {
     val spark = a.sparkSession
     import org.apache.spark.sql.expressions.Window
     // the static b side is scanned in every ring-expansion round — persist it
     val bCached = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the REPLICATED corpus is also cached, per scheme, PRE-PARTITIONED on
+    // the join key: `repartition(b_cell)` gives the cached frame the hash
+    // partitioning the cell equi-join requires, so every round ≥ 2 under the
+    // same scheme (schemes repeat as soon as the ring-driven maxN cap stops
+    // binding) reads the b side exchange-FREE — without this each round
+    // re-replicated AND re-shuffled the full static corpus (the dominant
+    // per-round cost at scale; the a-side `remaining` shrinks geometrically).
+    // `reuseBRep = false` restores the per-round rebuild for A/B evidence
+    // (Tune `knn` mode reports shuffle bytes both ways).
+    val bRepCache = scala.collection.mutable.Map.empty[CellScheme, DataFrame]
+    def bRep(s: CellScheme): DataFrame =
+      if (!reuseBRep) bReplicated(bCached, s)
+      else bRepCache.getOrElseUpdate(s,
+        bReplicated(bCached, s).repartition(col("b_cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // counting the persisted side is one cheap action and primes the cache —
     // callers should NOT pre-count with a second scan of the source
     val bCount = if (bCountHint >= 0) bCountHint else bCached.count()
@@ -623,7 +661,7 @@ object SpatialJoins {
       // the candidate frame feeds THREE consumers per round (rank window,
       // resolved-count agg, anti-join) — persist it once or the distance
       // join recomputes per consumer
-      val cand = distanceJoin(remaining, bCached, s, r)
+      val cand = distanceJoinPre(remaining, bRep(s), s, r)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy(col("a_id")).orderBy(col("dist"), col("b_id"))
       val ranked = cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -641,6 +679,7 @@ object SpatialJoins {
       cand.unpersist() // both checkpoints above are eager — safe to drop
       r *= 2; iter += 1
     }
+    bRepCache.values.foreach(_.unpersist(blocking = false))
     bCached.unpersist()
     val out =
       if (acc == null) prefixed(a, "a").limit(0)

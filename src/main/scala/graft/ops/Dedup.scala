@@ -193,19 +193,33 @@ object Dedup {
     // the verify shuffle — exactly the large-corpus regime this prefix path
     // is routed to. The r3 version attached arrays with two plain equi-joins
     // against the FULL corpus frame, shuffling every document's array twice.
-    // cand is persisted because it now has two consumers (the count that
-    // gates the broadcast, and the verify join) and its lineage re-runs the
-    // freq/window prefix pipeline; released once the verified set is
-    // materialized.
+    // cand is persisted because its lineage re-runs the freq/window prefix
+    // pipeline and the verify phase scans it twice (id set + join); released
+    // once the verified set is materialized.
     val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCand = candP.count()
-    val verified = verifyJaccard(candP, shArr, num, den,
-        broadcastIds = nCand <= 10000000L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count()
-    shArr.unpersist(blocking = false)
-    candP.unpersist(blocking = false)
-    verified
+    // the broadcast-gate count is worth a job only at the corpus sizes this
+    // prefix plan is ROUTED to (jaccardPairsAuto's threshold): below it the
+    // candidate set is small by construction, so skip the extra pipeline
+    // materialization and broadcast unconditionally — the r4 version paid
+    // the count + a second eager pass at every size, making the standalone
+    // prefix entry point 3× the plain join at oracle scale (10.2 s vs 3.2 s)
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20)
+    val broadcastIds = small || candP.count() <= 10000000L
+    finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds), shArr, candP)
+  }
+
+  /** Shared tail of the LSH/prefix pipelines: materialize the (tiny,
+    * O(pairs)) verified id-pair set ONCE via an eager `localCheckpoint`,
+    * then release the big planning caches immediately. Returning the
+    * checkpointed frame (instead of a persisted one, as r4 did) fixes the
+    * caller-side leak: repeated invocations in one session no longer
+    * accumulate O(corpus-tokens) cached arrays until GC — the checkpoint
+    * blocks hold only id pairs and are reclaimed when the frame is GC'd.
+    */
+  private def finishPairs(verified: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = verified.localCheckpoint() // eager: one pass materializes the pipeline
+    caches.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Exact-Jaccard verification of a candidate pair frame `(a_id, b_id)`
@@ -219,8 +233,11 @@ object Dedup {
   private[graft] def verifyJaccard(cand: DataFrame, shArr: DataFrame,
                                    num: Int, den: Int,
                                    broadcastIds: Boolean): DataFrame = {
-    val candIds0 = cand.select(col("a_id").as("id"))
-      .unionByName(cand.select(col("b_id").as("id"))).distinct()
+    // ONE scan of cand for the id set (explode, not a two-branch union): the
+    // candidate frame may be cold-cached when the broadcast stage runs first,
+    // and a union would compute its lineage once per branch
+    val candIds0 = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
     val candIds = if (broadcastIds) broadcast(candIds0) else candIds0
     val shCand = shArr.join(candIds, "id")
     cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
@@ -332,19 +349,8 @@ object Dedup {
     // twice (measured 1.6 KB/doc at the 1M-doc bench — more than the text).
     // Above ~10M candidate pairs fall back to a shuffled semi-join (a
     // candidate set that large means the arrays move regardless).
-    val verified = verifyJaccard(cand, shArr, num, den,
-        broadcastIds = nCand <= 10000000L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (tiny, O(pairs)) verified set eagerly so the two big
-    // planning caches — shingle/signature arrays and raw candidates — can be
-    // released NOW instead of leaking until GC + ContextCleaner: repeated
-    // invocations in one session (dedup_survivors + the bench run it twice)
-    // were accumulating O(corpus-tokens) of cached arrays per call. The
-    // returned frame stays persisted (id pairs only); callers may unpersist.
-    verified.count()
-    sigF.unpersist(blocking = false)
-    cand.unpersist(blocking = false)
-    verified
+    finishPairs(verifyJaccard(cand, shArr, num, den,
+      broadcastIds = nCand <= 10000000L), sigF, cand)
   }
 
   /** DuckDB oracle replaying [[minhashDedupPairs]] end-to-end: hash60

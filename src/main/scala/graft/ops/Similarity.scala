@@ -388,9 +388,19 @@ object Similarity {
         posexplode(graft.functions.CentroidDots(col("embedding"), flat, dim)))
       .toDF("q_id", "q_emb", "cent_id", "cdot")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cdot").desc, col("cent_id"))
-    val probes = qd.withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+    val probes0 = qd.withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cent_id"))
-    val scored = lists.join(broadcast(probes), "cent_id")
+    // the probe frame carries full query embeddings ×nProbe — broadcast is
+    // the right plan for interactive query batches (ONE streaming stage over
+    // the cached index, zero candidate shuffle), but an unbounded query set
+    // would exceed the broadcast/driver limit and FAIL the job rather than
+    // degrade. Gate on the estimated probe bytes (Catalyst stats × nProbe —
+    // zero jobs) and fall back to a shuffled join above it.
+    val probeBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes *
+      BigInt(nProbe)
+    val probes =
+      if (probeBytes <= BigInt(256L << 20)) broadcast(probes0) else probes0
+    val scored = lists.join(probes, "cent_id")
       .select(col("q_id"), col("c_id"), qdot(col("q_emb"), col("c_emb")).as("dot"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -499,7 +509,7 @@ object Similarity {
     */
   def lshNearDupPairs(embs: DataFrame, tMilli: Int, dim: Int,
                       bands: Int = 12, rowsPerBand: Int = 16,
-                      seed: Long = 11L): DataFrame = {
+                      seed: Long = 11L, multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
     val withSig = embs.select(col("vec_id"), col("embedding"),
         qdot(col("embedding"), col("embedding")).as("n2"),
@@ -508,7 +518,23 @@ object Similarity {
       .select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_q"),
         col("n2").as(s"${p}_n2"), posexplode(col("sig")))
       .toDF(s"${p}_id", s"${p}_q", s"${p}_n2", "band", "piece")
-    val cand = banded("a").join(banded("b").withColumnRenamed("band", "band_b")
+    // multi-probe (the same 1-bit-flip fan-out as lshTopKMultiProbe, applied
+    // to the self-join): the a-side additionally probes every piece at
+    // Hamming distance 1, so a pair whose band signatures differ by ONE sign
+    // bit in some band still collides — a per-band collision probability of
+    // p^r becomes p^r + r·p^(r-1)(1-p), the boundary-recall knob at scale
+    // where the exact route is unavailable. XOR is symmetric, so fanning out
+    // only one side covers the flip in either direction; the b-side (the
+    // "index") stays bucketed exactly once — candidate volume grows with
+    // query fan-out (×(1+r)), never with index size.
+    val aSide =
+      if (!multiProbe) banded("a")
+      else banded("a")
+        .withColumn("flip", explode(array((-1 until rowsPerBand).map(lit(_)): _*)))
+        .withColumn("piece",
+          expr("CASE WHEN flip < 0 THEN piece ELSE piece ^ shiftleft(CAST(1 AS BIGINT), flip) END"))
+        .drop("flip")
+    val cand = aSide.join(banded("b").withColumnRenamed("band", "band_b")
         .withColumnRenamed("piece", "piece_b"),
         col("band") === col("band_b") && col("piece") === col("piece_b") &&
           col("a_id") < col("b_id"))
@@ -530,10 +556,22 @@ object Similarity {
   def nearDupPairsAuto(embs: DataFrame, tMilli: Int, dim: Int,
                        bands: Int = 12, rowsPerBand: Int = 16,
                        seed: Long = 11L,
-                       exactBytesThreshold: Long = 32L << 20): DataFrame =
-    if (embs.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(exactBytesThreshold))
-      lshNearDupPairs(embs, tMilli, dim, bands, rowsPerBand, seed)
-    else cosineNearDupPairs(embs, tMilli)
+                       exactBytesThreshold: Long = 32L << 20): DataFrame = {
+    // a false "small" puts an O(n²) crossJoin on a large corpus — and stats
+    // UNDER-count compressed column-pruned scans (the intersectJoin lesson:
+    // 30 s vs 0.6 s on a 20k×150k misroute there). So the small estimate is
+    // CONFIRMED by a bounded count: the exact route is taken only when the
+    // actual row count is ≤ the threshold expressed in rows of ~dim floats —
+    // limit(maxRows+1).count() reads at most maxRows+1 rows however large
+    // the input, never a full scan. A false "large" merely costs the LSH
+    // plan's banding recall, not a quadratic blow-up.
+    val maxRows = math.max(1L, exactBytesThreshold / (8L * dim))
+    val small =
+      embs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(exactBytesThreshold) &&
+        embs.limit((maxRows + 1).toInt).count() <= maxRows
+    if (small) cosineNearDupPairs(embs, tMilli)
+    else lshNearDupPairs(embs, tMilli, dim, bands, rowsPerBand, seed)
+  }
 
   /** Deterministic planted near-duplicates: every 5th vector is duplicated
     * under `vec_id + 10⁷` with a tiny per-component integer-derived

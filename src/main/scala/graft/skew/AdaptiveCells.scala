@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   * shuffle. Min subcell size is clamped to the sampled median object extent
   * (`partition_utils.hpp:226-277` semantics) to bound replication blow-up.
   */
-final case class AdaptiveScheme(base: CellScheme, splits: Map[Long, Int]) {
+/** `perCellMean` (optional, set by [[AdaptiveCells.plan]]): mean occupied-cell
+  * population per side, measured by the planning aggregation — the zero-splits
+  * fallthrough routes its inner loop on it (sweep/STR for dense cells,
+  * declarative SMJ otherwise) instead of re-deriving a borderline estimate
+  * from Catalyst byte statistics.
+  */
+final case class AdaptiveScheme(base: CellScheme, splits: Map[Long, Int],
+                                perCellMean: Double = -1.0) {
   // key layout: base cell id << 12 | (1 + subIdx); plain cells use subIdx slot 0
   private final val SubBits = 12
   require(splits.values.forall(s => s * s < (1 << SubBits) - 1), "split factor too large")
@@ -88,10 +95,22 @@ final case class AdaptiveScheme(base: CellScheme, splits: Map[Long, Int]) {
 
 object AdaptiveCells {
 
-  /** Plan splits from per-cell counts: any cell with |A|·|B| > budget gets an
-    * s×s subgrid with s ≈ (|A|·|B| / budget)^(1/4) (each side shrinks ~s², the
-    * product ~s⁴ under uniformity), clamped by the median object size so a
-    * subcell never drops below ~2 median extents (replication bound).
+  /** Plan splits from per-cell counts: a hot cell gets an s×s subgrid with
+    * s ≈ (|A|·|B| / budget)^(1/4) (each side shrinks ~s², the product ~s⁴
+    * under uniformity), clamped by the median object size so a subcell never
+    * drops below ~2 median extents (replication bound).
+    *
+    * "Hot" is a CONCENTRATION criterion, not an absolute one: a cell is
+    * split only when its pair product exceeds
+    * `sumProd / (spreadFactor · parallelism)` — i.e. the cell alone holds
+    * more work than a balanced schedule would hand one worker, so leaving it
+    * whole serializes the join (the reference splits to fix *skew*,
+    * `partition_multi.hpp:106-189`, not density). On evenly dense inputs many
+    * cells exceed any absolute budget yet none dominates — splitting there
+    * only multiplies replication and map-side work for zero tail-latency win
+    * (measured 8× slower than the plain sweep on a gaussian 197×197-cell
+    * workload where the old `|A|·|B| > budget` rule fired everywhere).
+    * `budgetPairs` remains the floor of the threshold and sizes `s`.
     */
   /** `sampleFraction < 1` estimates per-cell counts from a Bernoulli sample
     * (scaled back up) — at petabyte scale the planning pass must not read the
@@ -101,7 +120,7 @@ object AdaptiveCells {
     */
   def plan(a: Dataset[Geom], b: Dataset[Geom], base: CellScheme,
            budgetPairs: Long = 4L * 1024 * 1024, maxSplit: Int = 32,
-           sampleFraction: Double = 1.0): AdaptiveScheme = {
+           sampleFraction: Double = 1.0, spreadFactor: Double = 4.0): AdaptiveScheme = {
     import a.sparkSession.implicits._
     val scale = math.round(1.0 / sampleFraction)
     // ONE fused planning aggregation: both (sampled) inputs are tagged with
@@ -118,15 +137,30 @@ object AdaptiveCells {
       .agg((count(when(col("side") === 0, lit(1))) * scale).as("na"),
            (count(when(col("side") === 1, lit(1))) * scale).as("nb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = counts0.agg(coalesce(sum("na"), lit(0L)), coalesce(sum("nb"), lit(0L))).head()
+    // ONE head() over the persisted per-cell counts also computes the work
+    // distribution (total pair product + max cell product) the concentration
+    // gate needs — no extra pass over the inputs
+    val prod = col("na").cast("double") * col("nb").cast("double")
+    val tot = counts0.agg(coalesce(sum("na"), lit(0L)), coalesce(sum("nb"), lit(0L)),
+      coalesce(sum(prod), lit(0.0)), coalesce(max(prod), lit(0.0)),
+      count(lit(1))).head()
     val totalA = tot.getLong(0); val totalB = tot.getLong(1)
+    val sumProd = tot.getDouble(2)
+    val occupiedCells = math.max(1L, tot.getLong(4))
+    val perCellMean = math.max(totalA, totalB).toDouble / occupiedCells
+    val parallelism = math.max(1, a.sparkSession.sparkContext.defaultParallelism)
+    // split threshold: the larger of the absolute budget and the balanced
+    // per-worker share of total candidate work — a cell below the share can
+    // never be the straggler, so splitting it buys nothing
+    val splitThreshold =
+      math.max(budgetPairs.toDouble, sumProd / (spreadFactor * parallelism))
     val counts = counts0
       // compare in double: per-cell count PRODUCTS at petabyte scale (and
       // sample scale-up) overflow int64 and would silently skip hot cells
-      .filter(col("na").cast("double") * col("nb").cast("double") > budgetPairs.toDouble)
+      .filter(prod > splitThreshold)
       .collect()
     counts0.unpersist()
-    if (counts.isEmpty) return AdaptiveScheme(base, Map.empty)
+    if (counts.isEmpty) return AdaptiveScheme(base, Map.empty, perCellMean)
     // median object extent (sampled from both sides) bounds the split factor;
     // a uniform .sample — limit() takes whichever partitions answer first and
     // is biased on spatially-sorted input. ~100k rows is plenty for a median;
@@ -147,6 +181,6 @@ object AdaptiveCells {
       val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1
       r.getLong(0) -> math.min(s, sCap)
     }.filter(_._2 >= 2).toMap
-    AdaptiveScheme(base, splits)
+    AdaptiveScheme(base, splits, perCellMean)
   }
 }

@@ -61,10 +61,17 @@ object EventsStream {
   /** Per-user sessionization with a custom state machine
     * (`flatMapGroupsWithState`): emits a session row when a user is idle
     * longer than `gapMinutes`. The stateful-streaming surface of the engine.
+    *
+    * `flushOpen` (batch/final-drain use only): also emit each user's trailing
+    * open session instead of parking it in state — in a batch run the state
+    * dies with the job, so without the flush the last session per user is
+    * silently dropped. A live stream keeps `flushOpen = false` (the open
+    * session must wait for its closing gap).
     */
   final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
-  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+                 flushOpen: Boolean = false): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
     import org.apache.spark.sql.streaming.GroupStateTimeout
@@ -82,10 +89,32 @@ object EventsStream {
             out += Session(user, start, end, n); start = t; end = t; n = 1
           } else { end = t; n += 1 }
         }
-        if (start >= 0) state.update((start, end, n))
+        if (start >= 0) {
+          if (flushOpen) out += Session(user, start, end, n)
+          else state.update((start, end, n))
+        }
         out.iterator
     }.toDF()
   }
+
+  /** DuckDB gaps-and-islands oracle for [[sessionize]] with `flushOpen`
+    * (batch semantics — ALL sessions, trailing ones included): a session
+    * break is a per-user gap > `gapMinutes`; the running sum of breaks is
+    * the island id. Ties on `ts_s` are gap-0 rows, so they land in the same
+    * island regardless of the window's order among them.
+    */
+  def sessionsSql(gapMinutes: Int): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+       |d AS (SELECT user_id, ts_s,
+       |  CASE WHEN lag(ts_s) OVER w IS NULL
+       |       OR ts_s - lag(ts_s) OVER w > ${gapMinutes * 60} THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+       |g AS (SELECT user_id, ts_s,
+       |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM d)
+       |SELECT user_id, CAST(min(ts_s) AS BIGINT) AS start_s,
+       |  CAST(max(ts_s) AS BIGINT) AS end_s, count(*) AS n_events
+       |FROM g GROUP BY user_id, grp""".stripMargin.replace("\n", " ")
 
   /** File-source streaming read of an events directory (parquet). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =

@@ -39,6 +39,26 @@ class GoldenSpec extends AnyFunSuite {
     assert(SpatialJoins.gridJoin(p, b, s).count() == 1059L)
   }
 
+  test("golden grid, all ≤1M combos: PP 100K×1M / PIP+PP 1M×100K / PIP+PP 1M×1M") {
+    // the published 9-combo golden table (BASELINE.md): every combo whose
+    // sides fit unit-test runtime is asserted here; the 10M-side combos are
+    // checked by the bench against the same table while its cached 10M
+    // inputs exist (reported as golden-grid MATCH/WARN lines in BENCH)
+    val s = CellScheme(ext, 256, 256)
+    val p100k = Workloads.uniformPoints(spark, 100000, 789)
+    val p1m = Workloads.uniformPoints(spark, 1000000, 789)
+    val a100k = Workloads.uniformPolygons(spark, 100000, 123)
+    val b100k = Workloads.uniformPolygons(spark, 100000, 456)
+    val a1m = Workloads.uniformPolygons(spark, 1000000, 123).cache()
+    val b1m = Workloads.uniformPolygons(spark, 1000000, 456).cache()
+    assert(SpatialJoins.gridJoin(a100k, b1m, s).count() == 4069L)   // PP 100K×1M
+    assert(SpatialJoins.gridJoin(p1m, a100k, s).count() == 1007L)   // PIP 1M×100K
+    assert(SpatialJoins.gridJoin(a1m, b100k, s).count() == 4071L)   // PP 1M×100K
+    assert(SpatialJoins.gridJoin(p1m, a1m, s).count() == 10132L)    // PIP 1M×1M
+    assert(SpatialJoins.gridJoin(a1m, b1m, s).count() == 40428L)    // PP 1M×1M
+    a1m.unpersist(); b1m.unpersist()
+  }
+
   test("golden: tile-join microbench counts (tile 64: 145 @ map 10, 550 @ map 5, 0 @ map 10000)") {
     // reference `cpp/tile_join_microbench.cpp:55,104` reads the FIRST
     // tile_size=64 objects of each generated 1000-object file (seeds

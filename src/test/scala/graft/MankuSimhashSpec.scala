@@ -37,11 +37,22 @@ class MankuSimhashSpec extends AnyFunSuite {
 
   test("minhash verify attaches shingle arrays via BROADCAST semi-join (corpus arrays never shuffle)") {
     import spark.implicits._
+    // the pipeline entry points now return an eagerly-materialized
+    // localCheckpoint (leak fix — the caller can't see the join plan any
+    // more), so assert on the verify phase's OWN plan: the candidate-id
+    // reduction must be a broadcast join so the full corpus's
+    // O(tokens)-sized shingle arrays stay out of every Exchange
     val docs = graft.ingest.Workloads.syntheticDocs(spark, 2000)
-    val plan = Dedup.minhashDedupPairs(docs).queryExecution.executedPlan.toString
-    // the candidate-id reduction must be a broadcast join so the full
-    // corpus's O(tokens)-sized shingle arrays stay out of every Exchange
+    val shArr = Dedup.shingleFrame(docs, 3, "doc_id", "text", useHash60 = true)
+      .filter(size(col("shs")) > 0)
+    val cand = Dedup.minhashCandidates(docs, 3, 64, 16)
+    val plan = Dedup.verifyJaccard(cand, shArr, 1, 2, broadcastIds = true)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    // and the end-to-end pipeline still finds the planted duplicate pairs
+    val pairs = Dedup.minhashDedupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists { case (a, b) => b - a == 1 && b % 50 == 49 })
   }
 
   test("candidate volume is sub-quadratic on a 10^6 random-fingerprint corpus") {

@@ -168,6 +168,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).contains(100L))
   }
 
+  test("multi-probe near-dup banding lifts boundary-cosine recall (planted 0.96 pairs)") {
+    // pairs at cosine exactly 0.96 — just above the 0.95 threshold, in the
+    // regime where single-probe banding recall is well below 1 (4 bands ×
+    // 16 bits → per-band collision p^16 ≈ 0.22, expect ~0.63) and the 1-bit
+    // flip fan-out roughly halves the miss mass per band (expect ~0.96)
+    val d = 64
+    val rnd = new scala.util.Random(99)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var planted = Set.empty[(Long, Long)]
+    for (i <- 0 until 300) {
+      val v = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val u0 = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val nv2 = v.map(x => x * x).sum
+      val proj = v.zip(u0).map { case (a, b) => a * b }.sum / nv2
+      val u = u0.zip(v).map { case (b, a) => b - proj * a } // ⊥ v exactly
+      val nu = math.sqrt(u.map(x => x * x).sum)
+      val c = 0.96
+      val w = v.zip(u).map { case (a, b) =>
+        c * a + math.sqrt(1 - c * c) * math.sqrt(nv2) * b / nu }
+      rows += ((i.toLong, v.map(_.toFloat)))
+      rows += ((1000L + i, w.map(_.toFloat)))
+      planted += ((i.toLong, 1000L + i))
+    }
+    val embs = rows.toSeq.toDF("vec_id", "embedding")
+    def recall(multi: Boolean): Double = {
+      val got = Similarity.lshNearDupPairs(embs, 950, d, bands = 4, rowsPerBand = 16,
+          multiProbe = multi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.count(got.contains).toDouble / planted.size
+    }
+    val single = recall(multi = false)
+    val multi = recall(multi = true)
+    assert(multi >= single, s"multi-probe must never lose pairs: $single -> $multi")
+    assert(multi >= single + 0.1,
+      s"expected a measurable boundary-recall uplift: single=$single multi=$multi")
+  }
+
   test("cosineNearDupPairs finds the planted identical pair") {
     val got = Similarity.cosineNearDupPairs(df, 950).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -308,5 +345,32 @@ class StreamingSpec extends AnyFunSuite {
     // every user's event count equals the sum over (emitted + in-state) sessions:
     // emitted sessions only cover closed ones in batch mode; check bounds
     assert(n <= events.count())
+  }
+
+  test("sessionize(flushOpen) == declarative gaps-and-islands (the DuckDB oracle shape)") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.expressions.Window
+    val gapMin = 30
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = rows(EventsStream.sessionize(spark, events, gapMin, flushOpen = true))
+    // declarative island ids: brk = gap > gapMin (or first row), island = running sum
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+    val e = events.select(col("user_id"), col("ts").cast("timestamp").cast("long").as("ts_s"))
+      .withColumn("brk",
+        when(lag(col("ts_s"), 1).over(w).isNull ||
+          col("ts_s") - lag(col("ts_s"), 1).over(w) > gapMin * 60L, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val want = rows(e.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"),
+        count(lit(1)).as("n_events")))
+    assert(got == want && got.nonEmpty)
+    // the streaming (no-flush) output is exactly the flushed set minus each
+    // user's LAST session (that one stays parked in state awaiting its gap)
+    val closed = rows(EventsStream.sessionize(spark, events, gapMin))
+    val lastPerUser = want.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    assert(closed == want -- lastPerUser)
   }
 }

@@ -102,6 +102,37 @@ class SkewSpec extends AnyFunSuite {
     assert(declarative == want)
   }
 
+  test("concentration gate: evenly dense cells plan ZERO splits even far over budget") {
+    // every cell's |A|·|B| (~312² ≈ 97k) is ~100× the budget — the r4 rule
+    // split them all (measured 8× slower than the plain sweep on the
+    // OSM-PP-class bench); the gate must see that NO cell dominates the
+    // total work (max share ~1/64 ≪ 1/(spread·parallelism)) and plan none
+    val a = Workloads.uniformPolygons(spark, 20000, seed = 31, mapEdge = 1000.0)
+    val b = Workloads.uniformPolygons(spark, 20000, seed = 32, mapEdge = 1000.0)
+    val base = CellScheme(Extent(0, 1001, 0, 1001), 8, 8)
+    val planned = AdaptiveCells.plan(a, b, base, budgetPairs = 1000)
+    assert(planned.splits.isEmpty,
+      s"even density must not split (got ${planned.splits.size} splits)")
+    // and the join (routed to the plain-grid plan) stays exact
+    val got = pairs(SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 1000))
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("withAdaptiveKeys is total on an empty split table (slot-0 keys)") {
+    import org.apache.spark.sql.functions.col
+    val base = CellScheme(Extent(0, 100, 0, 100), 4, 4)
+    val scheme = AdaptiveScheme(base, Map.empty)
+    import spark.implicits._
+    val gs = Seq(Geom(1, 5, 30, 5, 30), Geom(2, 80, 99, 80, 99), Geom(3, 0, 0, 0, 0))
+    val df = spark.createDataset(gs).toDF("a_id", "a_xmin", "a_xmax", "a_ymin", "a_ymax")
+    val got = SpatialJoins.withAdaptiveKeys(df, scheme, "a")
+      .select(col("a_id"), col("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = gs.flatMap(g => scheme.keysOf(g).map(k => (g.id, k))).toSet
+    assert(got == want)
+  }
+
   test("zero-splits gate: even-density input routes to the plain-grid plan") {
     val a = Workloads.uniformPolygons(spark, 3000, seed = 21, mapEdge = 1000.0)
     val b = Workloads.uniformPolygons(spark, 3000, seed = 22, mapEdge = 1000.0)

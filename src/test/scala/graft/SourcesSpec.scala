@@ -75,7 +75,14 @@ class SourcesSpec extends AnyFunSuite {
       // 6. extra internal spaces tolerated (:97-101)
       "5791\tPOLYGON ((1.0  1.0, 1.0 4.0, 3.0 4.0, 3.0 1.0, 1.0 1.0))\t[]",
       // 7. malformed line without tabs -> skip
-      "POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1))")
+      "POLYGON ((1 1, 1 2, 2 2, 2 1, 1 1))",
+      // 8. a FULLY non-numeric pair ("xx yy") keeps the numeric-token count
+      //    EVEN — with ≥ 6 pairs the r4 even-count check ingested the line
+      //    with an MBR from the surviving tokens; the per-pair count
+      //    (ncoord == 2·pairs) must drop it like the reference's float() loop
+      "5792\tPOLYGON ((1.0 1.0, xx yy, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
+      // 9. trailing-garbage token inside a pair splits into 3 numerics -> skip
+      "5793\tPOLYGON ((1.0 1.5.2, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]")
     java.nio.file.Files.writeString(dir.resolve("osm.txt"), lines.mkString("\n") + "\n")
     val read = Traces.readOsmWkt(spark, dir.toString).collect().sortBy(_.id)
     assert(read.map(_.id).toSeq == Seq(5786L, 5791L))

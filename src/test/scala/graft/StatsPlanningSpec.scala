@@ -77,6 +77,48 @@ class StatsPlanningSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("scheme sampling plans from stats: no full count() pass before the sample") {
+    // r4 ran u.count() — a FULL read of both inputs — before sizing the
+    // sample fraction for STP/BSP boundary building. The estimate now comes
+    // from Catalyst stats (zero jobs); a LARGE estimate skips even the
+    // bounded confirm, so scheme build is exactly the one sample+head action.
+    val a = mk(400, 0); val b = mk(400, 1000)
+    a.count(); b.count() // settle any lazy session init outside the window
+    var stp: graft.cells.SortTileScheme = null
+    val jobs = jobsDuring {
+      stp = graft.cells.SortTileScheme.build(a, b, graft.geom.Extent(0, 100, 0, 100),
+        4, 4, maxSample = 16)
+    }
+    // head() escalates through up to ~3 incremental partition-probe jobs;
+    // the r4 count()-first version added a full-scan job on top of these
+    assert(jobs <= 3, s"scheme build must be stats + one bounded sample, got $jobs jobs")
+    // the data-quantile boundaries must actually come from the sample
+    // (non-degenerate: not all equal to the uniform fallback is not required,
+    // only that the scheme is usable and the join it drives stays exact)
+    val got = SpatialJoins.sortTileJoin(a, b, stp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SpatialJoins.broadcastNL(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("bsp scheme build small estimate: bounded confirm only (≤ 3 jobs)") {
+    val a = mk(300, 0); val b = mk(300, 1000)
+    a.count(); b.count()
+    var bsp: graft.cells.BinarySplitScheme = null
+    val jobs = jobsDuring {
+      // large maxSample → est ≤ 4·maxSample → ONE bounded limit-confirm job
+      // (reads ≤ 4·maxSample+1 rows however big the input) + the sample head
+      bsp = graft.cells.BinarySplitScheme.build(a, b, graft.geom.Extent(0, 100, 0, 100), 4)
+    }
+    assert(jobs <= 3, s"bsp build must be bounded-confirm + sample, got $jobs jobs")
+    val got = SpatialJoins.binarySplitJoin(a, b, bsp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SpatialJoins.broadcastNL(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("grid path forced onto EMPTY inputs returns empty, no NPE") {
     // stats over-estimate filtered scans, so small() can be false for an
     // empty input — the min/max extent agg then returns nulls; the guard
