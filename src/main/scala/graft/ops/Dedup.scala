@@ -163,6 +163,10 @@ object Dedup {
     // the length attach AND the verify phase — five consumers that would
     // each re-run the shingle pass (measured 18.7 s → 3.5 s at sf0.1).
     val spark = docs.sparkSession
+    // below the router threshold the broadcast-gate count is skipped (see
+    // the verify phase) — the repartition stays: even a 5k-doc corpus pays
+    // for parallelizing the shingle pass (A/B: dropping it measured SLOWER)
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20)
     val in =
       if (docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism / 2) docs
       else docs.repartition(spark.sparkContext.defaultParallelism)
@@ -203,7 +207,6 @@ object Dedup {
     // materialization and broadcast unconditionally — the r4 version paid
     // the count + a second eager pass at every size, making the standalone
     // prefix entry point 3× the plain join at oracle scale (10.2 s vs 3.2 s)
-    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20)
     val broadcastIds = small || candP.count() <= 10000000L
     finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds), shArr, candP)
   }

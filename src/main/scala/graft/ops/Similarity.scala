@@ -511,13 +511,16 @@ object Similarity {
                       bands: Int = 12, rowsPerBand: Int = 16,
                       seed: Long = 11L, multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(bands * rowsPerBand, dim, seed)
-    val withSig = embs.select(col("vec_id"), col("embedding"),
-        qdot(col("embedding"), col("embedding")).as("n2"),
-        graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand).as("sig"))
-    def banded(p: String) = withSig
-      .select(col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_q"),
-        col("n2").as(s"${p}_n2"), posexplode(col("sig")))
-      .toDF(s"${p}_id", s"${p}_q", s"${p}_n2", "band", "piece")
+    // banding carries IDS ONLY: the same (a, b) pair collides in several
+    // bands (and several probes), and a distinct over rows carrying both
+    // embedding arrays shuffles 2×dim doubles per collision — the lshTopK
+    // lesson; with multi-probe's ×(1+r) fan-out the wide distinct measured
+    // 178 s where the id-pair form stays in tens of MB. Embeddings+norms are
+    // attached to the deduped pairs afterwards by two slim equi-joins.
+    def banded(p: String) = embs
+      .select(col("vec_id").as(s"${p}_id"),
+        posexplode(graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand)))
+      .toDF(s"${p}_id", "band", "piece")
     // multi-probe (the same 1-bit-flip fan-out as lshTopKMultiProbe, applied
     // to the self-join): the a-side additionally probes every piece at
     // Hamming distance 1, so a pair whose band signatures differ by ONE sign
@@ -538,8 +541,13 @@ object Similarity {
         .withColumnRenamed("piece", "piece_b"),
         col("band") === col("band_b") && col("piece") === col("piece_b") &&
           col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_q", "a_n2", "b_q", "b_n2").distinct()
-    exactCosineFilter(cand, tMilli)
+      .select("a_id", "b_id").distinct()
+    val withN2 = embs.select(col("vec_id"), col("embedding"),
+      qdot(col("embedding"), col("embedding")).as("n2"))
+    val attached = cand
+      .join(withN2.toDF("a_id", "a_q", "a_n2"), "a_id")
+      .join(withN2.toDF("b_id", "b_q", "b_n2"), "b_id")
+    exactCosineFilter(attached, tMilli)
   }
 
   /** Corpus-size-aware near-dup router (same shape as

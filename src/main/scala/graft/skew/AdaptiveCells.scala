@@ -127,12 +127,18 @@ object AdaptiveCells {
     // a side bit, replicated to their cells, and counted conditionally in a
     // single groupBy — one pass over each input and one job, where the r3
     // version paid one aggregation job PER SIDE plus a join (the "adaptive
-    // pays both planning aggregations" verdict note)
+    // pays both planning aggregations" verdict note). The replication is the
+    // DECLARATIVE withCells explode (whole-stage codegen) — the r4 typed
+    // flatMap decoded/re-encoded every row and made the planning pass cost
+    // ~2 s of the zero-splits path's 5.3 s at 10M (Tune-measured; the gate's
+    // whole point is that this pass is the only premium on even density).
     def tagged(ds: Dataset[Geom], side: Int) = {
       val in = if (sampleFraction >= 1.0) ds else ds.sample(sampleFraction, seed = 42L + side)
-      in.flatMap(g => base.cellsOf(g).map(c => (c, side)))
+      graft.join.SpatialJoins.withCells(
+          in.toDF("p_id", "p_xmin", "p_xmax", "p_ymin", "p_ymax"), base, "p")
+        .select(col("cell"), lit(side).as("side"))
     }
-    val counts0 = tagged(a, 0).union(tagged(b, 1)).toDF("cell", "side")
+    val counts0 = tagged(a, 0).unionByName(tagged(b, 1))
       .groupBy("cell")
       .agg((count(when(col("side") === 0, lit(1))) * scale).as("na"),
            (count(when(col("side") === 1, lit(1))) * scale).as("nb"))

@@ -145,6 +145,79 @@ object Traces {
     }
   }
 
+  // ---- partition-meta pages (reference §1.2 `partition_meta_t`) ------------
+  // 64-B page = 5 × 12-B entries — int32 count + float32 x + float32 y,
+  // little-endian, 12-B stride, zero-padded tail (`types.hpp:33-39`; pack
+  // `partition_utils.hpp:352-380`; FPGA parse `PEs.hpp:25-70`). Per occupied
+  // cell the A stream carries (count, min_X, min_Y) and the B stream
+  // (count, max_X, max_Y) (`partition_multi.hpp:243-244`). The file has NO
+  // header: the entry count travels out-of-band (the reference passes
+  // `num_meta` as a kernel argument), because a zero-padded entry is
+  // indistinguishable from a count-0 cell at the origin.
+
+  private final val MetaSize = 12
+  private final val MetaPerPage = 5
+
+  /** Write per-partition metadata `(cell, count, x, y)` as the reference's
+    * 64-B meta pages, in ascending cell order (= the reference's partition
+    * stream order). Returns the entry count the reader needs. The writer is
+    * an executor task (no driver collect), like [[writeBinaryTrace]].
+    */
+  def writeMetaPages(df: org.apache.spark.sql.DataFrame, path: String): Long = {
+    val n = df.count()
+    require(n <= Int.MaxValue, s"meta count is int32 out-of-band; got $n entries")
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col("cell").cast("long").as("cell"), col("count").cast("long").as("count"),
+        col("x").cast("float").as("x"), col("y").cast("float").as("y"))
+      .repartition(1).sortWithinPartitions("cell")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hadoopConf.value)
+        val out = fs.create(p, true)
+        try {
+          val page = java.nio.ByteBuffer.allocate(PageSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var inPage = 0
+          it.foreach { r =>
+            val c = r.getLong(1)
+            require(c >= 0 && c <= Int.MaxValue, s"partition_meta_t count is int32; got $c")
+            page.putInt(c.toInt)
+            page.putFloat(r.getFloat(2)); page.putFloat(r.getFloat(3))
+            inPage += 1
+            if (inPage == MetaPerPage) {
+              out.write(page.array()); page.clear()
+              java.util.Arrays.fill(page.array(), 0.toByte)
+              inPage = 0
+            }
+          }
+          if (inPage > 0) out.write(page.array())
+        } finally out.close()
+      }
+    n
+  }
+
+  /** Distributed meta-page scan (`binaryRecords`, 64-B records): yields
+    * `(count, x, y)` with coordinates through float32, honoring `numMeta`
+    * exactly like `parse_meta_unit`'s `meta_in_current_page` bound — padding
+    * entries past it are never parsed.
+    */
+  def readMetaPages(spark: SparkSession, path: String,
+                    numMeta: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val pages = spark.sparkContext.binaryRecords(path, PageSize).zipWithIndex()
+    pages.flatMap { case (page, pageIdx) =>
+      val bb = java.nio.ByteBuffer.wrap(page).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until MetaPerPage).iterator.flatMap { j =>
+        val idx = pageIdx * MetaPerPage + j
+        if (idx < numMeta) {
+          bb.position(j * MetaSize)
+          Some((bb.getInt().toLong, bb.getFloat().toDouble, bb.getFloat().toDouble))
+        } else None
+      }
+    }.toDF("meta_count", "x", "y") // not "count" — a reserved word in oracle SQL
+  }
+
   private val numRe = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][-+]?[0-9]+)?"
 
   /** Parse WKT POINT/POLYGON text into an MBR struct

@@ -92,6 +92,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(h.xmin == 1.0 && h.xmax == 3.0 && h.ymin == 1.0 && h.ymax == 4.0)
   }
 
+  test("partition-meta pages: 12-B stride, 5/page, zero pad, numMeta bound (partition_meta_t)") {
+    import spark.implicits._
+    // 7 entries -> 2 pages (5 + 2); one legit count-0 entry proves why the
+    // entry count must travel out-of-band (padding is indistinguishable)
+    val meta = Seq((0L, 3L, 1.5f, 2.5f), (1L, 1L, 17.0f, 0.25f), (2L, 0L, 3f, 4f),
+        (3L, 7L, -1.5f, 8f), (5L, 2L, 0f, 0f), (8L, 4L, 9f, 10f), (9L, 11L, 12f, 13f))
+      .toDF("cell", "count", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("meta").resolve("meta.bin").toString
+    val n = Traces.writeMetaPages(meta, path)
+    assert(n == 7L)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(bytes.length == 128, "2 × 64-B pages")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(3 * 12) // entry 3 (cell 3) at the reference's 12-B stride
+    assert(bb.getInt() == 7 && bb.getFloat() == -1.5f && bb.getFloat() == 8f)
+    assert(bytes.slice(64 + 2 * 12, 128).forall(_ == 0), "partial page zero-padded")
+    val back = Traces.readMetaPages(spark, path, n).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(back == Set((3L, 1.5, 2.5), (1L, 17.0, 0.25), (0L, 3.0, 4.0),
+      (7L, -1.5, 8.0), (2L, 0.0, 0.0), (4L, 9.0, 10.0), (11L, 12.0, 13.0)))
+    // parse_meta_unit's bound: entries past numMeta are never parsed
+    assert(Traces.readMetaPages(spark, path, 5L).count() == 5L)
+  }
+
   test("gid;geom CSV interchange sink round-trips") {
     val g = graft.ingest.Workloads.uniformPolygons(spark, 300, 456)
     val dir = java.nio.file.Files.createTempDirectory("gidgeom").resolve("out").toString
