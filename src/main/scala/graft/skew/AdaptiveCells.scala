@@ -142,17 +142,33 @@ object AdaptiveCells {
       .groupBy("cell")
       .agg((count(when(col("side") === 0, lit(1))) * scale).as("na"),
            (count(when(col("side") === 1, lit(1))) * scale).as("nb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE head() over the persisted per-cell counts also computes the work
-    // distribution (total pair product + max cell product) the concentration
-    // gate needs — no extra pass over the inputs
-    val prod = col("na").cast("double") * col("nb").cast("double")
-    val tot = counts0.agg(coalesce(sum("na"), lit(0L)), coalesce(sum("nb"), lit(0L)),
-      coalesce(sum(prod), lit(0.0)), coalesce(max(prod), lit(0.0)),
-      count(lit(1))).head()
-    val totalA = tot.getLong(0); val totalB = tot.getLong(1)
-    val sumProd = tot.getDouble(2)
-    val occupiedCells = math.max(1L, tot.getLong(4))
+    // Grids bounded enough to hold per-cell counts on the driver (every
+    // realistic base grid — the planner's own forSize caps at maxN²) take
+    // ONE job: collect the aggregated rows and derive totals, the work
+    // distribution and the over-threshold cells locally. Unbounded grids
+    // fall back to persist + two distributed aggregations. Per-cell count
+    // PRODUCTS are compared in double: at petabyte scale (and sample
+    // scale-up) they overflow int64 and would silently skip hot cells.
+    val (totalA, totalB, sumProd, occupiedCells, overThreshold) =
+      if (base.numCells <= (1L << 20)) {
+        val all = counts0.collect() // ≤ numCells rows of (cell, na, nb)
+        val sumP = all.iterator.map(r => r.getLong(1).toDouble * r.getLong(2)).sum
+        (all.iterator.map(_.getLong(1)).sum, all.iterator.map(_.getLong(2)).sum,
+         sumP, math.max(1L, all.length.toLong),
+         (threshold: Double) =>
+           all.filter(r => r.getLong(1).toDouble * r.getLong(2) > threshold))
+      } else {
+        val cached = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prod = col("na").cast("double") * col("nb").cast("double")
+        val tot = cached.agg(coalesce(sum("na"), lit(0L)), coalesce(sum("nb"), lit(0L)),
+          coalesce(sum(prod), lit(0.0)), count(lit(1))).head()
+        ((tot.getLong(0), tot.getLong(1), tot.getDouble(2), math.max(1L, tot.getLong(3)),
+          (threshold: Double) => {
+            val rows = cached.filter(prod > threshold).collect()
+            cached.unpersist()
+            rows
+          }))
+      }
     val perCellMean = math.max(totalA, totalB).toDouble / occupiedCells
     val parallelism = math.max(1, a.sparkSession.sparkContext.defaultParallelism)
     // split threshold: the larger of the absolute budget and the balanced
@@ -160,12 +176,7 @@ object AdaptiveCells {
     // never be the straggler, so splitting it buys nothing
     val splitThreshold =
       math.max(budgetPairs.toDouble, sumProd / (spreadFactor * parallelism))
-    val counts = counts0
-      // compare in double: per-cell count PRODUCTS at petabyte scale (and
-      // sample scale-up) overflow int64 and would silently skip hot cells
-      .filter(prod > splitThreshold)
-      .collect()
-    counts0.unpersist()
+    val counts = overThreshold(splitThreshold)
     if (counts.isEmpty) return AdaptiveScheme(base, Map.empty, perCellMean)
     // median object extent (sampled from both sides) bounds the split factor;
     // a uniform .sample — limit() takes whichever partitions answer first and
