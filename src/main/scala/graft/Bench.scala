@@ -574,10 +574,11 @@ object Bench {
       s""""ann_ivf_sec":$tAnnIvf,"ann_ivf_samples":${jArr(ivfSamples)},""" +
       s""""ann_ivf_recall_at_10":$annIvfRecall,""" +
       s""""ann_ivf_train_sec":$tAnnIvfTrain,""" +
-      s""""neardup_n":${math.max(benchN / 100, 10000L)},""" +
+      s""""neardup_n":${math.max(benchN / 100, 10000L) * 6 / 5},""" + // base + n/5 planted dups
       s""""neardup_single_sec":$tNdSingle,"neardup_single_pairs":$ndSinglePairs,""" +
       s""""neardup_multiprobe_sec":$tNdMulti,"neardup_multiprobe_pairs":$ndMultiPairs,""" +
-      s""""golden_grid_ok":${big.goldenGrid.forall(g => g._2 == g._3)},""" +
+      s""""golden_grid_n":${big.goldenGrid.size},""" +
+      s""""golden_grid_ok":${big.goldenGrid.nonEmpty && big.goldenGrid.forall(g => g._2 == g._3)},""" +
       s""""sentinel_sec":{"knn":$sentKnn,"ann":$sentAnn,"neardup":$sentNd,"dedup":$sentDedup}}"""
     val dedup =
       s"""{"docs":${math.max(benchN / 10, 10000L)},"corpus_bytes":$corpusBytes,""" +
@@ -645,7 +646,7 @@ object Bench {
          || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s (min-of-2: ${knnSamples.map(t => f"$t%.1f").mkString("/")}), $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s); replicated corpus cached + pre-partitioned per scheme (round ≥ 2 reads it exchange-free) |
          || ANN top-10 over $annN clustered 64-dim embeddings, 2000 queries | LSH ${f"$tAnnLsh%.2f"} s (min-of-2: ${lshSamples.map(t => f"$t%.1f").mkString("/")}) vs brute-force ${f"$tAnnBf%.1f"} s (extrapolated from a 32-query exact run — linear in queries); recall@10 = ${f"$annRecall%.3f"} vs exact |
          || same queries via TRAINED IVF (1024 Lloyd centroids ×2 iters, nProbe=16 → ~1.6% of corpus re-ranked/query) | ${f"$tAnnIvf%.2f"} s (min-of-2: ${ivfSamples.map(t => f"$t%.1f").mkString("/")}), recall@10 = ${f"$annIvfRecall%.3f"}; one-off train+index build ${f"$tAnnIvfTrain%.2f"} s (amortized, like LSH's corpus bucketing) |
-         || Embedding near-dup banding @ ${math.max(benchN / 100, 10000L)} planted vectors: single- vs multi-probe | ${f"$tNdSingle%.2f"} s ($ndSinglePairs pairs) vs ${f"$tNdMulti%.2f"} s ($ndMultiPairs pairs) — the 1-bit-flip fan-out costs ${f"${tNdMulti / math.max(tNdSingle, 1e-9)}%.1f"}× here and buys the boundary-recall uplift measured in SimilaritySpec (planted cosine-0.96 pairs: ~0.6 → ~0.95) |
+         || Embedding near-dup banding @ ${math.max(benchN / 100, 10000L) * 6 / 5} vectors (incl. the 1-in-5 planted dups): single- vs multi-probe | ${f"$tNdSingle%.2f"} s ($ndSinglePairs pairs) vs ${f"$tNdMulti%.2f"} s ($ndMultiPairs pairs) — the 1-bit-flip fan-out costs ${f"${tNdMulti / math.max(tNdSingle, 1e-9)}%.1f"}× here and buys the boundary-recall uplift measured in SimilaritySpec (planted cosine-0.96 pairs: ~0.6 → ~0.95) |
          || Connected components (min-id label prop) over the minhash pairs | ${f"$tCc%.2f"} s (label propagation only — pairs come materialized from the minhash phase), $nComponents components over ${math.max(benchN / 10, 10000L)} docs |
          || Dedup @ ${math.max(benchN / 10, 10000L)} docs (${f"${corpusBytes / 1e9}%.2f"} GB text): exact | ${f"$tExact%.2f"} s (min-of-2: ${exSamples.map(t => f"$t%.2f").mkString("/")}), shuffle ${f"${exactShuffle / 1e6}%.1f"} MB = ${f"${exactShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc vs ${f"${corpusBytes * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc of text (shuffle ∝ hashes, never text) |
          || Dedup minhash-LSH (64 perm / 16 band + exact verify) | ${f"$tMinhash%.2f"} s (min-of-2: ${mhSamples.map(t => f"$t%.1f").mkString("/")}), $nMinhashPairs pairs, shuffle ${f"${minhashShuffle / 1e6}%.1f"} MB (${f"${minhashShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc — constant per doc, independent of doc length) |

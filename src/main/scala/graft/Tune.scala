@@ -161,8 +161,9 @@ object Tune {
         val (df, rounds) = SpatialJoins.knnJoinWithRounds(q, corpus, ext, 3,
           reuseBRep = reuse)
         val rows = df.count()
-        Thread.sleep(1500) // drain the listener bus
-        println(f"knn reuseBRep=$reuse%-5s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+        val sec = (System.nanoTime() - t0) / 1e9 // BEFORE the drain sleep
+        Thread.sleep(1500) // drain the listener bus (outside the timer)
+        println(f"knn reuseBRep=$reuse%-5s $sec%7.2f s " +
           f"rows=$rows rounds=$rounds shuffleMB=${shuffled.get / 1e6}%.1f")
       }
       spark.stop(); return

@@ -87,9 +87,19 @@ private[cells] object SchemeSampling {
     // identically under any boundaries).
     val est = math.max(1.0, graft.join.SpatialJoins.estRowsFromStats(a) +
       graft.join.SpatialJoins.estRowsFromStats(b))
+    val cap = 4L * maxSample + 1
     val n =
-      if (est <= 4.0 * maxSample) math.max(1L, u.limit(4 * maxSample + 1).count()).toDouble
-      else est
+      if (est > 4.0 * maxSample) est
+      else {
+        val bounded = math.max(1L, u.limit(cap.toInt).count())
+        // a SATURATED bounded count means the stats estimate lied small and
+        // the true size is unknown — sizing the fraction from the cap would
+        // oversample and re-introduce the first-partitions head() bias (the
+        // exact failure mode this sampler exists to avoid). Only in that
+        // contradiction case pay one exact count; the common paths (stats
+        // large, or genuinely small input) never scan fully.
+        if (bounded >= cap) math.max(1L, u.count()).toDouble else bounded.toDouble
+      }
     val fraction = math.min(1.0, 1.2 * maxSample / n)
     // head() keeps 4× headroom over the expected sample so a stats
     // UNDER-estimate (compressed column-pruned scans) must be off by >3× of

@@ -635,13 +635,24 @@ object SpatialJoins {
     // re-replicated AND re-shuffled the full static corpus (the dominant
     // per-round cost at scale; the a-side `remaining` shrinks geometrically).
     // `reuseBRep = false` restores the per-round rebuild for A/B evidence
-    // (Tune `knn` mode reports shuffle bytes both ways).
-    val bRepCache = scala.collection.mutable.Map.empty[CellScheme, DataFrame]
+    // (Tune `knn` mode reports shuffle bytes both ways). Only the CURRENT
+    // scheme's replica is kept: r doubles monotonically, so once the
+    // ring-driven maxN cap binds, every later round's scheme is new and a
+    // changed scheme can never recur — caching them all would accumulate a
+    // dead full-corpus replica per tail round (48-round worst case).
+    var bRepScheme: CellScheme = null
+    var bRepCached: DataFrame = null
     def bRep(s: CellScheme): DataFrame =
       if (!reuseBRep) bReplicated(bCached, s)
-      else bRepCache.getOrElseUpdate(s,
-        bReplicated(bCached, s).repartition(col("b_cell"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else {
+        if (s != bRepScheme) {
+          if (bRepCached != null) bRepCached.unpersist(blocking = false)
+          bRepScheme = s
+          bRepCached = bReplicated(bCached, s).repartition(col("b_cell"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        bRepCached
+      }
     // counting the persisted side is one cheap action and primes the cache —
     // callers should NOT pre-count with a second scan of the source
     val bCount = if (bCountHint >= 0) bCountHint else bCached.count()
@@ -679,7 +690,7 @@ object SpatialJoins {
       cand.unpersist() // both checkpoints above are eager — safe to drop
       r *= 2; iter += 1
     }
-    bRepCache.values.foreach(_.unpersist(blocking = false))
+    if (bRepCached != null) bRepCached.unpersist(blocking = false)
     bCached.unpersist()
     val out =
       if (acc == null) prefixed(a, "a").limit(0)

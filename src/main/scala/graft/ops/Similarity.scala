@@ -573,7 +573,11 @@ object Similarity {
     // limit(maxRows+1).count() reads at most maxRows+1 rows however large
     // the input, never a full scan. A false "large" merely costs the LSH
     // plan's banding recall, not a quadratic blow-up.
-    val maxRows = math.max(1L, exactBytesThreshold / (8L * dim))
+    // clamp the limit to Int range: a caller-supplied multi-TB threshold
+    // would wrap (maxRows+1).toInt to a tiny limit and silently re-open the
+    // quadratic misroute this confirm exists to prevent
+    val maxRows = math.min(math.max(1L, exactBytesThreshold / (8L * dim)),
+      (Int.MaxValue - 1).toLong)
     val small =
       embs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(exactBytesThreshold) &&
         embs.limit((maxRows + 1).toInt).count() <= maxRows

@@ -45,7 +45,6 @@ class GoldenSpec extends AnyFunSuite {
     // checked by the bench against the same table while its cached 10M
     // inputs exist (reported as golden-grid MATCH/WARN lines in BENCH)
     val s = CellScheme(ext, 256, 256)
-    val p100k = Workloads.uniformPoints(spark, 100000, 789)
     val p1m = Workloads.uniformPoints(spark, 1000000, 789)
     val a100k = Workloads.uniformPolygons(spark, 100000, 123)
     val b100k = Workloads.uniformPolygons(spark, 100000, 456)

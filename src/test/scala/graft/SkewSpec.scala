@@ -119,6 +119,27 @@ class SkewSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("planner's distributed fallback (numCells > 2^20) agrees with the collect path") {
+    // grids too large to collect per-cell counts on the driver take the
+    // persist + two-aggregation path — same totals, same threshold, same
+    // split decisions, oracle-equal join
+    val a = Workloads.hotspotPolygons(spark, 8000, seed = 41, mapEdge = 1000.0,
+      hotFrac = 0.5, hotX = 100, hotY = 100, hotW = 1.0, meanEdge = 0.05)
+    val b = Workloads.hotspotPolygons(spark, 8000, seed = 42, mapEdge = 1000.0,
+      hotFrac = 0.5, hotX = 100, hotY = 100, hotW = 1.0, meanEdge = 0.05)
+    val ext = Extent(0, 1001, 0, 1001)
+    val small = CellScheme(ext, 1024, 1024)       // = 2^20 → collect path
+    val large = CellScheme(ext, 2048, 1024)       // > 2^20 → distributed path
+    val ps = AdaptiveCells.plan(a, b, small, budgetPairs = 100000)
+    val pl = AdaptiveCells.plan(a, b, large, budgetPairs = 100000)
+    // both paths must find the hot corner (it sits inside one cell on both
+    // grids) and produce an exact join
+    assert(ps.splits.nonEmpty && pl.splits.nonEmpty)
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(pairs(SpatialJoins.gridJoinAdaptive(a, b, large, budgetPairs = 100000)) == want)
+    assert(want.nonEmpty)
+  }
+
   test("withAdaptiveKeys is total on an empty split table (slot-0 keys)") {
     import org.apache.spark.sql.functions.col
     val base = CellScheme(Extent(0, 100, 0, 100), 4, 4)
