@@ -625,8 +625,15 @@ object SpatialJoins {
                         reuseBRep: Boolean = true): (DataFrame, Int) = {
     val spark = a.sparkSession
     import org.apache.spark.sql.expressions.Window
-    // the static b side is scanned in every ring-expansion round — persist it
-    val bCached = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the static b side is scanned in every ring-expansion round — persist it.
+    // RESPECT a caller-held cache: persisting an already-cached frame is a
+    // no-op, but the tail's unpersist would EVICT the caller's corpus (same
+    // plan → same cache entry), so a caller timing two back-to-back kNN runs
+    // over a warm corpus had run 2 silently regenerate and re-cache the full
+    // corpus inside its timer (the r5 min-of-2 kNN samples: 11.8 s vs 17.0 s)
+    val bOwned = b.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val bCached =
+      if (bOwned) b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else b
     // the REPLICATED corpus is also cached, per scheme, PRE-PARTITIONED on
     // the join key: `repartition(b_cell)` gives the cached frame the hash
     // partitioning the cell equi-join requires, so every round ≥ 2 under the
@@ -691,7 +698,7 @@ object SpatialJoins {
       r *= 2; iter += 1
     }
     if (bRepCached != null) bRepCached.unpersist(blocking = false)
-    bCached.unpersist()
+    if (bOwned) bCached.unpersist()
     val out =
       if (acc == null) prefixed(a, "a").limit(0)
         .select(col("a_id"), col("a_id").as("b_id"), lit(0.0).as("dist"), lit(1).as("rank"))

@@ -286,18 +286,16 @@ object Traces {
       .filter(!col("value").contains("GEOMETRYCOLLECTION") &&
         col("value").contains("POLYGON") && size(parts) >= 2 && id.isNotNull)
       .select(id.as("id"), poly.as("poly"),
-        size(regexp_extract_all(poly, lit(numRe), lit(0))).as("ncoord"),
-        // comma-delimited coordinate pairs of the WKT field (tags are in
-        // field 3 and never reach this count)
-        size(split(poly, lit(","))).as("npairs"))
-      .filter(col("ncoord") >= 10 && col("ncoord") % 2 === 0) // ≥ 5 (x, y) pairs
-      // rule 3 completeness: EVERY pair must parse — a fully non-numeric pair
-      // ("xx yy") removes two tokens and keeps the count even, so the
-      // even-count check alone would ingest a ≥6-pair line with one malformed
-      // pair using an MBR from the surviving tokens; requiring exactly two
-      // numeric tokens per comma-delimited pair drops it like the reference's
-      // per-pair float() loop (`process_OSM.py:103-107`)
-      .filter(col("ncoord") === col("npairs") * 2)
+        size(regexp_extract_all(poly, lit(numRe), lit(0))).as("ncoord"))
+      .filter(col("ncoord") >= 10) // ≥ 5 (x, y) pairs
+      // rule 3 completeness is PER PAIR, like the reference's float() loop
+      // (`process_OSM.py:103-107`): every comma-delimited coordinate pair of
+      // the WKT field (tags are in field 3 and never reach this split) must
+      // hold exactly two numeric tokens. An aggregate token-count check
+      // (r5's ncoord == 2·pairs) still ingested a line where one pair yields
+      // 1 token and another 3 ("(1.0, 2.0 3.0 4.0, …)") — the counts cancel
+      .filter(forall(split(poly, lit(",")),
+        p => size(regexp_extract_all(p, lit(numRe), lit(0))) === 2))
       .select(col("id"), parseWktMbr(col("poly")).as("m"))
       .filter(col("m").isNotNull)
       .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),

@@ -82,7 +82,12 @@ class SourcesSpec extends AnyFunSuite {
       //    (ncoord == 2·pairs) must drop it like the reference's float() loop
       "5792\tPOLYGON ((1.0 1.0, xx yy, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
       // 9. trailing-garbage token inside a pair splits into 3 numerics -> skip
-      "5793\tPOLYGON ((1.0 1.5.2, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]")
+      "5793\tPOLYGON ((1.0 1.5.2, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
+      // 10. COMPENSATING malformed pairs (one pair with 1 token, another with
+      //     3) keep the aggregate token count at 2·pairs — only the per-pair
+      //     two-numeric-token rule (the reference's per-pair float() loop)
+      //     catches it
+      "5794\tPOLYGON ((1.0, 2.0 3.0 4.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]")
     java.nio.file.Files.writeString(dir.resolve("osm.txt"), lines.mkString("\n") + "\n")
     val read = Traces.readOsmWkt(spark, dir.toString).collect().sortBy(_.id)
     assert(read.map(_.id).toSeq == Seq(5786L, 5791L))
