@@ -163,13 +163,29 @@ object Dedup {
     // the length attach AND the verify phase — five consumers that would
     // each re-run the shingle pass (measured 18.7 s → 3.5 s at sf0.1).
     val spark = docs.sparkSession
-    // below the router threshold the broadcast-gate count is skipped (see
-    // the verify phase) — the repartition stays: even a 5k-doc corpus pays
-    // for parallelizing the shingle pass (A/B: dropping it measured SLOWER)
-    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20)
+    // below the router threshold the broadcast-gate count AND the persist
+    // pair are skipped (see the verify phase / shArr) — the repartition
+    // stays: even a 5k-doc corpus pays for parallelizing the shingle pass
+    // (A/B: dropping it measured SLOWER). "Small" is the stats estimate
+    // CONFIRMED by a bounded count (the intersectJoin pattern): stats
+    // under-count column-pruned scans, and a false "small" here would
+    // broadcast the candidate-id set of an arbitrarily large corpus
+    // unconditionally. The broadcast is the candidate-ID set — bounded by
+    // 2·#docs — so confirming the row count directly bounds the broadcast:
+    // limit(N+1).count() reads at most N+1 rows, never a full scan.
+    val smallMaxRows = (64L << 20) / 256L // threshold at ~256 B/doc of text
+    val small =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20) &&
+        docs.limit((smallMaxRows + 1).toInt).count() <= smallMaxRows
     val in =
       if (docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism / 2) docs
       else docs.repartition(spark.sparkContext.defaultParallelism)
+    // shArr feeds ~4 distinct consumer shapes (freq, window rank, length
+    // attach, verify) whose exchanges differ, so without this cache each
+    // would re-run the shingle pass — and the final verified plan holds the
+    // candidate lineage 3× and the shingle lineage 4×, so dropping the
+    // persists multiplies the WHOLE pipeline, not just the shingle scan
+    // (A/B at 5k docs: no-persist measured 24-40 s vs ~6 s persisted)
     val shArr = shingleFrame(in, k, idCol, textCol)
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -203,12 +219,14 @@ object Dedup {
     val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the broadcast-gate count is worth a job only at the corpus sizes this
     // prefix plan is ROUTED to (jaccardPairsAuto's threshold): below it the
-    // candidate set is small by construction, so skip the extra pipeline
-    // materialization and broadcast unconditionally — the r4 version paid
-    // the count + a second eager pass at every size, making the standalone
-    // prefix entry point 3× the plain join at oracle scale (10.2 s vs 3.2 s)
+    // candidate-id set is bounded by 2·#docs ≤ 2·smallMaxRows (the bounded
+    // confirm above), so skip the extra pipeline materialization and
+    // broadcast unconditionally — the r4 version paid the count + a second
+    // eager pass at every size, making the standalone prefix entry point 3×
+    // the plain join at oracle scale (10.2 s vs 3.2 s)
     val broadcastIds = small || candP.count() <= 10000000L
-    finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds), shArr, candP)
+    finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds,
+      broadcastArrays = small), shArr, candP)
   }
 
   /** Shared tail of the LSH/prefix pipelines: materialize the (tiny,
@@ -235,14 +253,23 @@ object Dedup {
     */
   private[graft] def verifyJaccard(cand: DataFrame, shArr: DataFrame,
                                    num: Int, den: Int,
-                                   broadcastIds: Boolean): DataFrame = {
+                                   broadcastIds: Boolean,
+                                   broadcastArrays: Boolean = false): DataFrame = {
     // ONE scan of cand for the id set (explode, not a two-branch union): the
     // candidate frame may be cold-cached when the broadcast stage runs first,
     // and a union would compute its lineage once per branch
     val candIds0 = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
     val candIds = if (broadcastIds) broadcast(candIds0) else candIds0
-    val shCand = shArr.join(candIds, "id")
+    val shCand0 = shArr.join(candIds, "id")
+    // `broadcastArrays` (small corpora only — a bounded-confirmed row count
+    // upstream): at low thresholds the prefix keeps ~half of every doc's
+    // shingles and the candidate set covers most of the corpus, so the two
+    // array-attach joins shuffle the pair set twice and dominate the small-
+    // corpus runtime (measured: the verify was 2.3 s of a 3.5 s run at 5k
+    // docs). Broadcasting the array frame (bounded by the same confirm that
+    // set `small`) turns both attaches into broadcast joins — zero shuffles.
+    val shCand = if (broadcastArrays) broadcast(shCand0) else shCand0
     cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
       .join(shCand.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))

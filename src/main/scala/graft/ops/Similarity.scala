@@ -564,25 +564,66 @@ object Similarity {
   def nearDupPairsAuto(embs: DataFrame, tMilli: Int, dim: Int,
                        bands: Int = 12, rowsPerBand: Int = 16,
                        seed: Long = 11L,
-                       exactBytesThreshold: Long = 32L << 20): DataFrame = {
+                       exactBytesThreshold: Long = 32L << 20,
+                       minBoundaryRecall: Double = 0.0): DataFrame = {
     // a false "small" puts an O(n²) crossJoin on a large corpus — and stats
     // UNDER-count compressed column-pruned scans (the intersectJoin lesson:
     // 30 s vs 0.6 s on a 20k×150k misroute there). So the small estimate is
     // CONFIRMED by a bounded count: the exact route is taken only when the
-    // actual row count is ≤ the threshold expressed in rows of ~dim floats —
-    // limit(maxRows+1).count() reads at most maxRows+1 rows however large
-    // the input, never a full scan. A false "large" merely costs the LSH
-    // plan's banding recall, not a quadratic blow-up.
+    // actual row count is ≤ the threshold expressed in rows of dim embedding
+    // components — limit(maxRows+1).count() reads at most maxRows+1 rows
+    // however large the input, never a full scan. A false "large" merely
+    // costs the LSH plan's banding recall, not a quadratic blow-up.
+    // The component width comes from the frame's SCHEMA: a float32 embedding
+    // column halves the bytes-per-row, and the r5 hard-wired 8 B/component
+    // made genuinely-small float corpora between maxRows and 2·maxRows rows
+    // route to the LSH plan whose boundary recall < 1 — out from under the
+    // exact-oracle gate that the stats threshold promises at verified sizes.
+    val elemBytes = embs.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        math.max(1, et.defaultSize).toLong
+      case _ => 8L
+    }
     // clamp the limit to Int range: a caller-supplied multi-TB threshold
     // would wrap (maxRows+1).toInt to a tiny limit and silently re-open the
     // quadratic misroute this confirm exists to prevent
-    val maxRows = math.min(math.max(1L, exactBytesThreshold / (8L * dim)),
+    val maxRows = math.min(math.max(1L, exactBytesThreshold / (elemBytes * dim)),
       (Int.MaxValue - 1).toLong)
     val small =
       embs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(exactBytesThreshold) &&
         embs.limit((maxRows + 1).toInt).count() <= maxRows
     if (small) cosineNearDupPairs(embs, tMilli)
-    else lshNearDupPairs(embs, tMilli, dim, bands, rowsPerBand, seed)
+    else {
+      // the recall knob at the scale route (exact recall is unavailable
+      // there): pick the cheapest banding whose PREDICTED recall for a pair
+      // sitting exactly at the cosine threshold — the worst qualifying pair —
+      // meets `minBoundaryRecall`. Collision probability of one sign bit is
+      // p = 1 − acos(t)/π; a band of r bits collides with p^r (single-probe)
+      // or p^r + r·p^(r−1)(1−p) (1-bit-flip multi-probe, either direction —
+      // XOR is symmetric); recall over B independent bands = 1 − (1−P)^B.
+      // Escalation order: given bands single-probe → given bands multi-probe
+      // → more multi-probe bands (capped at 8× — candidate volume and the
+      // signature pass scale with bands, so a recall target close to 1 at a
+      // low threshold must widen bands, not loop forever). 0 keeps r5's
+      // single-probe default.
+      val t = math.min(1.0, math.max(-1.0, tMilli / 1000.0))
+      val p = 1.0 - math.acos(t) / math.Pi
+      val pSingle = math.pow(p, rowsPerBand)
+      val pMulti = pSingle + rowsPerBand * math.pow(p, rowsPerBand - 1) * (1.0 - p)
+      def recall(pBand: Double, nb: Int) = 1.0 - math.pow(1.0 - pBand, nb)
+      val target = math.min(minBoundaryRecall, 0.999999)
+      val (useMulti, useBands) =
+        if (target <= 0.0 || recall(pSingle, bands) >= target) (false, bands)
+        else if (recall(pMulti, bands) >= target) (true, bands)
+        else {
+          val need =
+            if (pMulti >= 1.0) 1
+            else math.ceil(math.log1p(-target) / math.log1p(-pMulti)).toInt
+          (true, math.min(math.max(bands, need), bands * 8))
+        }
+      lshNearDupPairs(embs, tMilli, dim, useBands, rowsPerBand, seed,
+        multiProbe = useMulti)
+    }
   }
 
   /** Deterministic planted near-duplicates: every 5th vector is duplicated

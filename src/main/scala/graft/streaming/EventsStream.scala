@@ -67,33 +67,68 @@ object EventsStream {
     * dies with the job, so without the flush the last session per user is
     * silently dropped. A live stream keeps `flushOpen = false` (the open
     * session must wait for its closing gap).
+    *
+    * `evictAtWatermark` (streaming use): without it, every idle user parks
+    * one open-session tuple in state FOREVER — unbounded state growth in a
+    * long-running stream. With it, the events get a `watermarkDelay` event-
+    * time watermark and the state machine runs under `EventTimeTimeout`: a
+    * parked session whose close (end + gap) falls behind the watermark can
+    * never be extended by an admissible event (later-than-watermark events
+    * are all beyond the gap), so it is EMITTED and its state removed. Session
+    * output is therefore identical to the batch semantics for events within
+    * the watermark; only sub-watermark late stragglers (which the watermark
+    * contract already excludes) could have reopened an evicted session.
+    * Batch runs keep `NoTimeout` (timeouts never fire in batch anyway, and
+    * batch execution strips the watermark node).
     */
   final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
-                 flushOpen: Boolean = false): DataFrame = {
+                 flushOpen: Boolean = false, evictAtWatermark: Boolean = false,
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val typed = events.select(col("user_id"), col("ts").cast("timestamp").cast("long").as("ts_s"))
-      .as[(Long, Long)]
+    val src = if (evictAtWatermark) events.withWatermark("ts", watermarkDelay) else events
+    // keep the raw ts column alongside the long view: the watermark metadata
+    // rides the ts ATTRIBUTE, and flatMapGroupsWithState's event-time timeout
+    // needs a watermarked column in its child output (a cast produces a new
+    // attribute without the metadata)
+    val typed = src
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("ts_s"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val timeoutConf =
+      if (evictAtWatermark) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._1).flatMapGroupsWithState[(Long, Long, Long), Session](
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
-        val sorted = rows.map(_._2).toArray.sorted
-        var (start, end, n) = state.getOption.getOrElse((-1L, -1L, 0L))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        sorted.foreach { t =>
-          if (start < 0) { start = t; end = t; n = 1 }
-          else if (t - end > gapMinutes * 60L) {
-            out += Session(user, start, end, n); start = t; end = t; n = 1
-          } else { end = t; n += 1 }
+      OutputMode.Append, timeoutConf) {
+      (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+       state: GroupState[(Long, Long, Long)]) =>
+        if (state.hasTimedOut) {
+          // watermark passed the parked session's close — no admissible event
+          // can extend it; emit and evict
+          val (start, end, n) = state.get
+          state.remove()
+          Iterator.single(Session(user, start, end, n))
+        } else {
+          val sorted = rows.map(_._2).toArray.sorted
+          var (start, end, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { t =>
+            if (start < 0) { start = t; end = t; n = 1 }
+            else if (t - end > gapMinutes * 60L) {
+              out += Session(user, start, end, n); start = t; end = t; n = 1
+            } else { end = t; n += 1 }
+          }
+          if (start >= 0) {
+            if (flushOpen) out += Session(user, start, end, n)
+            else {
+              state.update((start, end, n))
+              if (evictAtWatermark)
+                state.setTimeoutTimestamp((end + gapMinutes * 60L) * 1000L + 1000L)
+            }
+          }
+          out.iterator
         }
-        if (start >= 0) {
-          if (flushOpen) out += Session(user, start, end, n)
-          else state.update((start, end, n))
-        }
-        out.iterator
     }.toDF()
   }
 

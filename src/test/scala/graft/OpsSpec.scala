@@ -168,11 +168,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).contains(100L))
   }
 
-  test("multi-probe near-dup banding lifts boundary-cosine recall (planted 0.96 pairs)") {
-    // pairs at cosine exactly 0.96 — just above the 0.95 threshold, in the
-    // regime where single-probe banding recall is well below 1 (4 bands ×
-    // 16 bits → per-band collision p^16 ≈ 0.22, expect ~0.63) and the 1-bit
-    // flip fan-out roughly halves the miss mass per band (expect ~0.96)
+  /** Planted boundary corpus: 300 pairs at cosine exactly 0.96 (orthogonal-
+    * complement construction), just above the 0.95 threshold — the regime
+    * where banding recall < 1 and the probe/band knobs matter.
+    */
+  private lazy val boundaryCorpus: (org.apache.spark.sql.DataFrame, Set[(Long, Long)]) = {
     val d = 64
     val rnd = new scala.util.Random(99)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
@@ -191,7 +191,15 @@ class SimilaritySpec extends AnyFunSuite {
       rows += ((1000L + i, w.map(_.toFloat)))
       planted += ((i.toLong, 1000L + i))
     }
-    val embs = rows.toSeq.toDF("vec_id", "embedding")
+    (rows.toSeq.toDF("vec_id", "embedding"), planted)
+  }
+
+  test("multi-probe near-dup banding lifts boundary-cosine recall (planted 0.96 pairs)") {
+    // single-probe at 4 bands × 16 bits: per-band collision p^16 ≈ 0.22,
+    // expect ~0.63; the 1-bit flip fan-out roughly halves the miss mass per
+    // band (expect ~0.96)
+    val d = 64
+    val (embs, planted) = boundaryCorpus
     def found(multi: Boolean): Set[(Long, Long)] =
       Similarity.lshNearDupPairs(embs, 950, d, bands = 4, rowsPerBand = 16,
           multiProbe = multi)
@@ -208,6 +216,26 @@ class SimilaritySpec extends AnyFunSuite {
     val multi = recall(gotMulti)
     assert(multi >= single + 0.1,
       s"expected a measurable boundary-recall uplift: single=$single multi=$multi")
+  }
+
+  test("nearDupPairsAuto recall knob selects the banding at the scale route (planted 0.96)") {
+    // force the SCALE route (threshold 0 → never "small") and exercise the
+    // knob both ways: the default keeps r5's single-probe banding; a recall
+    // target the single-probe prediction misses must select multi-probe and
+    // lift the measured planted-boundary recall
+    val d = 64
+    val (embs, planted) = boundaryCorpus
+    def recallOf(minRecall: Double): Double = {
+      val got = Similarity.nearDupPairsAuto(embs, 950, d, bands = 4,
+          rowsPerBand = 16, exactBytesThreshold = 0L, minBoundaryRecall = minRecall)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      planted.count(got.contains).toDouble / planted.size
+    }
+    val default = recallOf(0.0)   // single-probe, 4×16 (documented ~0.63)
+    val chased = recallOf(0.9)    // predicted single ≈ 0.63 < 0.9 → multi-probe
+    assert(chased >= default + 0.1,
+      s"recall knob had no effect at the scale route: default=$default chased=$chased")
+    assert(chased >= 0.85, s"multi-probe scale route under target: $chased")
   }
 
   test("cosineNearDupPairs finds the planted identical pair") {
@@ -377,5 +405,49 @@ class StreamingSpec extends AnyFunSuite {
     val closed = rows(EventsStream.sessionize(spark, events, gapMin))
     val lastPerUser = want.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
     assert(closed == want -- lastPerUser)
+  }
+
+  test("sessionize(evictAtWatermark): parked sessions emit at the watermark, state stays bounded") {
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = EventsStream.sessionize(spark, events, gapMinutes = 30,
+      evictAtWatermark = true, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_evict").start()
+    try {
+      val baseMs = 1700000000000L
+      def t(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+      val baseS = baseMs / 1000L
+      def s(min: Long) = baseS + min * 60L
+      // batch 1: user 1 (events at min 0 and 5) and user 2 (min 3) — both
+      // sessions park in state, nothing can be emitted yet
+      mem.addData((1L, t(0)), (1L, t(5)), (2L, t(3)))
+      q.processAllAvailable()
+      assert(spark.sql("select * from sess_evict").count() == 0)
+      // batch 2: one user-2 event at min 300. It closes user 2's first
+      // session by gap (> 30 min) AND advances the watermark to min 290 —
+      // far past user 1's parked close (min 5 + gap) — so the follow-up
+      // no-data batch must TIMEOUT-EMIT user 1's session (the r5 NoTimeout
+      // version parked it forever: unbounded state for idle users)
+      mem.addData((2L, t(300)))
+      q.processAllAvailable()
+      // batch 3: an out-of-order event (min 295 < max seen 300, but inside
+      // the watermark) still opens fresh state normally
+      mem.addData((3L, t(295)))
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, start_s, end_s, n_events from sess_evict")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, s(0), s(5), 2L), (2L, s(3), s(3), 1L)),
+        s"expected the timeout-evicted user-1 session and user 2's gap-closed one, got $got")
+      // state-size boundedness: only the two live open sessions (user 2 at
+      // min 300, user 3 at min 295) remain in the state store
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+      assert(stateRows.contains(2L), s"state rows: $stateRows")
+    } finally q.stop()
   }
 }
