@@ -55,6 +55,7 @@ object Bench {
                                     pp: Seq[Double], ppResults: Long,
                                     stripes: Seq[Double], stripeDir: Char,
                                     stripesResults: Long,
+                                    stripes1k: Seq[Double] = Nil,
                                     goldenGrid: Seq[(String, Long, Long)] = Nil)
 
   /** One headline measurement set: Uniform PIP and Uniform PP at n×n
@@ -78,20 +79,29 @@ object Bench {
     def pp()  = time { SpatialJoins.gridJoin(p0, p1, s).count() }
     pip(); pp() // warm-up: codegen + JIT + page cache
     val measured = (1 to runs).map(_ => (pip(), pp()))
-    val (stripeSamples, stripeDir, stripeRes) =
-      if (stripeRuns <= 0) (Seq.empty[Double], '-', -1L)
+    val (stripeSamples, stripeDir, stripeRes, stripe1kSamples) =
+      if (stripeRuns <= 0) (Seq.empty[Double], '-', -1L, Seq.empty[Double])
       else {
         val dir = SpatialJoins.chooseStripeAxis(pts, p0, ext, 10000)
-        val scheme = if (dir == 'x') CellScheme.stripesX(ext, 10000)
-                     else CellScheme.stripesY(ext, 10000)
+        def schemeOf(n: Int) = if (dir == 'x') CellScheme.stripesX(ext, n)
+                               else CellScheme.stripesY(ext, n)
         // stripes hold ~n/10000 rows each — far over the declarative plan's
         // dense-cell break-even, so run the cogroup PLANE-SWEEP inner loop
         // (what the reference's 1d_stripes.hpp does; the declarative SMJ
         // loop is quadratic per stripe: measured 18.8 s vs ~2 s)
+        val scheme = schemeOf(10000)
         def st() = time { SpatialJoins.gridJoinSweep(pts, p0, scheme).count() }
         st() // warm
         val ms = (1 to stripeRuns).map(_ => st())
-        (ms.map(_._1), dir, ms.head._2)
+        // the reference's stripe-TUNED best for Uniform PIP is 1,000 stripes
+        // (1.773 s best-direction) — A/B it alongside the same-config 10,000-
+        // stripe row so both of its published stripe numbers are answered
+        // (r5 verdict item 7). Same inner loop; min-of-2 after a warm run.
+        val scheme1k = schemeOf(1000)
+        def st1k() = time { SpatialJoins.gridJoinSweep(pts, p0, scheme1k).count() }
+        st1k() // warm (different cell populations → different code paths JIT)
+        val ms1k = (1 to math.min(2, stripeRuns)).map(_ => st1k())
+        (ms.map(_._1), dir, ms.head._2, ms1k.map(_._1))
       }
     // golden-grid closure (r4 verdict "what's missing" 3): while the 10M
     // inputs are cached, also count the asymmetric published combos against
@@ -122,7 +132,7 @@ object Bench {
     pts.unpersist(); p0.unpersist(); p1.unpersist()
     Headline(tGen, measured.map(_._1._1), measured.head._1._2,
              measured.map(_._2._1), measured.head._2._2,
-             stripeSamples, stripeDir, stripeRes, goldenGrid)
+             stripeSamples, stripeDir, stripeRes, stripe1kSamples, goldenGrid)
   }
 
   /** Output-heavy regime — the reference's hardest headline (OSM PP 10M×10M
@@ -307,7 +317,7 @@ object Bench {
     * is spec-measured (SimilaritySpec planted-0.96 case).
     */
   private def nearDupAtScale(spark: SparkSession, n: Long)
-      : (Double, Long, Double, Long) = {
+      : (Seq[Double], Long, Seq[Double], Long) = {
     import org.apache.spark.sql.functions._
     val dim = 64
     def u(seed: org.apache.spark.sql.Column) =
@@ -317,12 +327,15 @@ object Bench {
     val emb = graft.ops.Similarity.withPlantedDups(base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     emb.count()
-    val (tS, nS) = time {
-      graft.ops.Similarity.lshNearDupPairs(emb, 950, dim).count() }
-    val (tM, nM) = time {
+    // interleaved min-of-2 (r5 verdict item 2: both rows were single samples
+    // under the round's worst sentinel — the multi-probe cost ratio the
+    // artifact states must come from pinned numbers)
+    def single() = time { graft.ops.Similarity.lshNearDupPairs(emb, 950, dim).count() }
+    def multi() = time {
       graft.ops.Similarity.lshNearDupPairs(emb, 950, dim, multiProbe = true).count() }
+    val s1 = single(); val m1 = multi(); val s2 = single(); val m2 = multi()
     emb.unpersist()
-    (tS, nS, tM, nM)
+    (Seq(s1._1, s2._1), s1._2, Seq(m1._1, m2._1), m1._2)
   }
 
   /** Dedup at corpus scale (1M synthetic web-text docs, ~0.8 GB of text):
@@ -332,7 +345,7 @@ object Bench {
     * minhash shuffles its 16 band buckets per doc regardless of doc length.
     */
   private def dedupAtScale(spark: SparkSession, n: Long)
-      : (Long, Seq[Double], Long, Long, Seq[Double], Long, Long, Double, Long) = {
+      : (Long, Seq[Double], Long, Long, Seq[Double], Long, Long, Seq[Double], Long) = {
     import org.apache.spark.sql.functions._
     val docs = Workloads.syntheticDocs(spark, n, parts = 64).cache()
     val corpusBytes = docs.agg(sum(length(col("text")))).head().getLong(0)
@@ -358,12 +371,16 @@ object Bench {
     // label-propagation loop is O(diameter) shuffles of (id, label) rows.
     // The pair set is the (persisted) result of the minhash phase above —
     // cc_sec measures label propagation itself, not a pair recompute.
-    val (tCc, nComp) = time {
+    // Min-of-2 (r5 verdict item 2: the single 11.5 s sample vs r4's 5.2 s was
+    // unadjudicable without a samples array).
+    def cc() = time {
       graft.ops.Dedup.connectedComponents(docs, mhPairs)
         .agg(countDistinct(col("comp"))).head().getLong(0)
     }
+    val cc1 = cc(); val cc2 = cc()
+    val ccSamples = Seq(cc1._1, cc2._1)
     docs.unpersist()
-    (corpusBytes, exSamples, exBytes, nEx, mhSamples, mhBytes, nMh, tCc, nComp)
+    (corpusBytes, exSamples, exBytes, nEx, mhSamples, mhBytes, nMh, ccSamples, cc1._2)
   }
 
   /** Hot-district regime — the adaptive split's WINNING case (the
@@ -470,12 +487,32 @@ object Bench {
     // deployment would use at that scale. The 10M-row throughput phases turn
     // it back off (coalescing serializes the bench-width joins, see session()).
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // noise protocol for the per-query phase (the last unprotected phase —
+    // BENCH_r05 reported dedup_minhash at 77.2 s inside a contiguous noise
+    // window where judge re-runs measured 2.0-3.9 s): sentinel brackets, and
+    // any query slower than an absolute outlier threshold is re-run once with
+    // the min kept. Only outliers pay the second run, so the extra cost is
+    // bounded by the few genuinely-slow queries plus whatever the window hit.
+    val sentQueries0 = sentinelSec(spark)
+    val rerunThresholdSec = 3.0
+    var queryReruns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, ok) = time {
-        try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      def run(): Double = {
+        val (sec, ok) = time {
+          try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        }
+        if (ok) sec else -1.0
       }
-      name -> (if (ok) sec else -1.0)
+      val first = run()
+      val sec =
+        if (first > rerunThresholdSec) {
+          queryReruns += 1
+          val second = run()
+          if (second >= 0) math.min(first, second) else first
+        } else first
+      name -> sec
     }
+    val sentQueries1 = sentinelSec(spark)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     // ---- phase 2: headline throughput at full cores ------------------------
@@ -495,17 +532,20 @@ object Bench {
     val (lshSamples, tAnnBf, annRecall, annN, ivfSamples, annIvfRecall, tAnnIvfTrain) =
       annAtScale(spark, benchN / 10)
     val sentNd = sentinelSec(spark)
-    val (tNdSingle, ndSinglePairs, tNdMulti, ndMultiPairs) =
+    val (ndSingleSamples, ndSinglePairs, ndMultiSamples, ndMultiPairs) =
       nearDupAtScale(spark, math.max(benchN / 100, 10000L))
     val sentDedup = sentinelSec(spark)
     val (corpusBytes, exSamples, exactShuffle, nExact, mhSamples, minhashShuffle,
-         nMinhashPairs, tCc, nComponents) =
+         nMinhashPairs, ccSamples, nComponents) =
       dedupAtScale(spark, math.max(benchN / 10, 10000L))
     val tKnn = knnSamples.min
     val tAnnLsh = lshSamples.min
     val tAnnIvf = ivfSamples.min
+    val tNdSingle = ndSingleSamples.min
+    val tNdMulti = ndMultiSamples.min
     val tExact = exSamples.min
     val tMinhash = mhSamples.min
+    val tCc = ccSamples.min
     val (tSkew, resSkew, tSkewGrid, tSkewStp, tSkewBsp, skewCountsMatch) =
       headlineSkew(spark, math.max(benchN / 5, 100000L))
     val (tHotAdaptive, tHotGrid, tHotSalted, resHot, hotCountsMatch) =
@@ -516,6 +556,7 @@ object Bench {
     val tJoinBig = pipBig.min
     val tPP = ppBig.min
     val tStripes = if (big.stripes.nonEmpty) big.stripes.min else -1.0
+    val tStripes1k = if (big.stripes1k.nonEmpty) big.stripes1k.min else -1.0
 
     // ---- phase 3: two-cluster-size protocol, N=2 vs 4N=8 cores -------------
     // (per-core memory bandwidth stays constant in this band on the sandbox
@@ -559,6 +600,7 @@ object Bench {
       s""""dense_counts_match":$denseCountsMatch,""" +
       s""""stripes_sec":$tStripes,"stripes_direction":"${big.stripeDir}",""" +
       s""""stripes_results":${big.stripesResults},""" +
+      s""""stripes_1000_sec":$tStripes1k,"stripes_1000_samples":${jArr(big.stripes1k)},""" +
       s""""osm_pp_gen_sec":$tGenOsm,"osm_pp_sweep_sec":$tOsmSweep,""" +
       s""""osm_pp_sweep_samples":${jArr(osmSweepSamples)},""" +
       s""""osm_pp_bsp_sec":$tOsmBsp,"osm_pp_adaptive_sec":$tOsmAdaptive,""" +
@@ -575,8 +617,10 @@ object Bench {
       s""""ann_ivf_recall_at_10":$annIvfRecall,""" +
       s""""ann_ivf_train_sec":$tAnnIvfTrain,""" +
       s""""neardup_n":${math.max(benchN / 100, 10000L) * 6 / 5},""" + // base + n/5 planted dups
-      s""""neardup_single_sec":$tNdSingle,"neardup_single_pairs":$ndSinglePairs,""" +
-      s""""neardup_multiprobe_sec":$tNdMulti,"neardup_multiprobe_pairs":$ndMultiPairs,""" +
+      s""""neardup_single_sec":$tNdSingle,"neardup_single_samples":${jArr(ndSingleSamples)},""" +
+      s""""neardup_single_pairs":$ndSinglePairs,""" +
+      s""""neardup_multiprobe_sec":$tNdMulti,"neardup_multiprobe_samples":${jArr(ndMultiSamples)},""" +
+      s""""neardup_multiprobe_pairs":$ndMultiPairs,""" +
       s""""golden_grid_n":${big.goldenGrid.size},""" +
       s""""golden_grid_ok":${big.goldenGrid.nonEmpty && big.goldenGrid.forall(g => g._2 == g._3)},""" +
       s""""sentinel_sec":{"knn":$sentKnn,"ann":$sentAnn,"neardup":$sentNd,"dedup":$sentDedup}}"""
@@ -586,14 +630,21 @@ object Bench {
       s""""exact_shuffle_bytes":$exactShuffle,"exact_survivors":$nExact,""" +
       s""""minhash_sec":$tMinhash,"minhash_samples":${jArr(mhSamples)},""" +
       s""""minhash_shuffle_bytes":$minhashShuffle,""" +
-      s""""minhash_pairs":$nMinhashPairs,"cc_sec":$tCc,"cc_components":$nComponents}"""
+      s""""minhash_pairs":$nMinhashPairs,"cc_sec":$tCc,"cc_samples":${jArr(ccSamples)},""" +
+      s""""cc_components":$nComponents}"""
     val scaling =
       s"""{"cores_n":$nSmall,"cores_4n":$nMid,"join_sec_n":$tJoinSmall,""" +
       s""""join_sec_4n":$tJoinMid,"samples_n":${jArr(pipSmall)},"samples_4n":${jArr(pipMid)},""" +
       s""""speedup":${tJoinSmall / tJoinMid},"efficiency":$eff,""" +
       s""""cores_full":$cpus,"join_sec_full":$tJoinBig,"efficiency_4n_to_full":$effWide}"""
+    // per-query phase protocol record: the bracketing sentinels make a noise
+    // window visible in the artifact, the rerun count says how many queries
+    // tripped the outlier re-run (their reported time is the min of 2)
+    val queryPhase =
+      s"""{"sentinels":[$sentQueries0,$sentQueries1],"reruns":$queryReruns,""" +
+      s""""rerun_threshold_sec":$rerunThresholdSec}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput":$throughput,"dedup":$dedup,"scaling":$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_phase":$queryPhase,"sf":"$sfDir","throughput":$throughput,"dedup":$dedup,"scaling":$scaling}"""
     // truncate decimals to 3 places: the driver keeps only the stdout TAIL,
     // and r2's full-precision line (~3.7 kB) overflowed its parse window
     val compact = line.replaceAll("(\\.\\d{3})\\d+", "$1")
@@ -640,17 +691,19 @@ object Bench {
          || results | $resBig |
          || joined input rows/s @ local[$cpus] | ${f"${rowsPerSec / 1e6}%.2f"} M |
          || Uniform PP ${benchN}×$benchN join / results | ${f"$tPP%.3f"} s / $resPP (${f"${resPP / tPP / 1e6}%.2f"} M results/s) |
-         || 1-D stripes (J5, 10,000 stripes, direction '${big.stripeDir}') Uniform PIP | ${f"$tStripes%.3f"} s / ${big.stripesResults} results (reference CPU 16t: 3.646 s; its stripe-tuned best 1.773 s) |
+         || 1-D stripes (J5, 10,000 stripes, direction '${big.stripeDir}') Uniform PIP | ${f"$tStripes%.3f"} s / ${big.stripesResults} results (reference same-config: 3.646 s) |
+         || 1-D stripes at the REFERENCE'S TUNED stripe count (1,000 stripes, same direction) | ${f"$tStripes1k%.3f"} s (min-of-2: ${big.stripes1k.map(t => f"$t%.2f").mkString("/")}) vs the reference's published best-direction 1.773 s |
          || **OUTPUT-HEAVY (OSM-PP-class)**: gaussian ${benchN}×$benchN, ~${resOsm / 1000000}M result pairs | grid+sweep ${f"$tOsmSweep%.2f"} s (min of interleaved samples ${osmSweepSamples.map(t => f"$t%.2f").mkString("/")}) = **${f"${resOsm / tOsmSweep / 1e6}%.1f"} M result rows/s** (reference OSM PP 292.5M pairs at 23.2 M result rows/s, i.e. reference is ${f"${23.2e6 * tOsmSweep / resOsm}%.2f"}× faster — rule: within 2×) |
          || same workload: BSP / adaptive | ${f"$tOsmBsp%.2f"} s (${f"${resOsm / tOsmBsp / 1e6}%.1f"} M/s) / ${f"$tOsmAdaptive%.2f"} s (the r5 concentration gate routes the even-density case to the sweep plan — adaptive pays only its sampled planning pass) — counts match: $osmCountsMatch |
          || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s (min-of-2: ${knnSamples.map(t => f"$t%.1f").mkString("/")}), $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s); replicated corpus cached + pre-partitioned per scheme (round ≥ 2 reads it exchange-free) |
          || ANN top-10 over $annN clustered 64-dim embeddings, 2000 queries | LSH ${f"$tAnnLsh%.2f"} s (min-of-2: ${lshSamples.map(t => f"$t%.1f").mkString("/")}) vs brute-force ${f"$tAnnBf%.1f"} s (extrapolated from a 32-query exact run — linear in queries); recall@10 = ${f"$annRecall%.3f"} vs exact |
          || same queries via TRAINED IVF (1024 Lloyd centroids ×2 iters, nProbe=16 → ~1.6% of corpus re-ranked/query) | ${f"$tAnnIvf%.2f"} s (min-of-2: ${ivfSamples.map(t => f"$t%.1f").mkString("/")}), recall@10 = ${f"$annIvfRecall%.3f"}; one-off train+index build ${f"$tAnnIvfTrain%.2f"} s (amortized, like LSH's corpus bucketing) |
-         || Embedding near-dup banding @ ${math.max(benchN / 100, 10000L) * 6 / 5} vectors (incl. the 1-in-5 planted dups): single- vs multi-probe | ${f"$tNdSingle%.2f"} s ($ndSinglePairs pairs) vs ${f"$tNdMulti%.2f"} s ($ndMultiPairs pairs) — the 1-bit-flip fan-out costs ${f"${tNdMulti / math.max(tNdSingle, 1e-9)}%.1f"}× here and buys the boundary-recall uplift measured in SimilaritySpec (planted cosine-0.96 pairs: ~0.6 → ~0.95) |
-         || Connected components (min-id label prop) over the minhash pairs | ${f"$tCc%.2f"} s (label propagation only — pairs come materialized from the minhash phase), $nComponents components over ${math.max(benchN / 10, 10000L)} docs |
+         || Embedding near-dup banding @ ${math.max(benchN / 100, 10000L) * 6 / 5} vectors (incl. the 1-in-5 planted dups): single- vs multi-probe | ${f"$tNdSingle%.2f"} s (min-of-2: ${ndSingleSamples.map(t => f"$t%.1f").mkString("/")}; $ndSinglePairs pairs) vs ${f"$tNdMulti%.2f"} s (min-of-2: ${ndMultiSamples.map(t => f"$t%.1f").mkString("/")}; $ndMultiPairs pairs) — the 1-bit-flip fan-out costs ${f"${tNdMulti / math.max(tNdSingle, 1e-9)}%.1f"}× here and buys the boundary-recall uplift measured in SimilaritySpec (planted cosine-0.96 pairs: ~0.6 → ~0.95; `nearDupPairsAuto(minBoundaryRecall=…)` selects it at the scale route) |
+         || Connected components (min-id label prop) over the minhash pairs | ${f"$tCc%.2f"} s (min-of-2: ${ccSamples.map(t => f"$t%.1f").mkString("/")}; label propagation only — pairs come materialized from the minhash phase), $nComponents components over ${math.max(benchN / 10, 10000L)} docs |
          || Dedup @ ${math.max(benchN / 10, 10000L)} docs (${f"${corpusBytes / 1e9}%.2f"} GB text): exact | ${f"$tExact%.2f"} s (min-of-2: ${exSamples.map(t => f"$t%.2f").mkString("/")}), shuffle ${f"${exactShuffle / 1e6}%.1f"} MB = ${f"${exactShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc vs ${f"${corpusBytes * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc of text (shuffle ∝ hashes, never text) |
          || Dedup minhash-LSH (64 perm / 16 band + exact verify) | ${f"$tMinhash%.2f"} s (min-of-2: ${mhSamples.map(t => f"$t%.1f").mkString("/")}), $nMinhashPairs pairs, shuffle ${f"${minhashShuffle / 1e6}%.1f"} MB (${f"${minhashShuffle * 1.0 / math.max(benchN / 10, 10000L)}%.0f"} B/doc — constant per doc, independent of doc length) |
-         || CPU sentinels bracketing the phases (fixed-cost reduction; mutually far-off values flag neighbour load) | kNN ${f"$sentKnn%.2f"} s · ANN ${f"$sentAnn%.2f"} s · near-dup ${f"$sentNd%.2f"} s · dedup ${f"$sentDedup%.2f"} s |
+         || CPU sentinels bracketing the phases (fixed-cost reduction; mutually far-off values flag neighbour load) | queries ${f"$sentQueries0%.2f"}/${f"$sentQueries1%.2f"} s · kNN ${f"$sentKnn%.2f"} s · ANN ${f"$sentAnn%.2f"} s · near-dup ${f"$sentNd%.2f"} s · dedup ${f"$sentDedup%.2f"} s |
+         || Per-query phase outlier protocol | queries slower than ${f"$rerunThresholdSec%.0f"} s re-run once, min kept — $queryReruns re-ran this round (BENCH_r05's unprotected single-shot phase reported a 23× phantom) |
          || Gaussian (OSM-like) PP ${math.max(benchN / 5, 100000L)}×same, adaptive join | ${f"$tSkew%.3f"} s / $resSkew results |
          || same skew via plain grid / sort-tile (STP) / binary-split (BSP) | ${f"$tSkewGrid%.2f"} / ${f"$tSkewStp%.2f"} / ${f"$tSkewBsp%.2f"} s (counts match: $skewCountsMatch; warmed, interleaved min-of-2; STP/BSP scheme build excluded, adaptive's planning pass included) |
          || **HOT-DISTRICT (adaptive's winning regime)**: ${math.max(benchN / 10, 100000L)}×same, 15% of rows in a 100-unit district inside ONE cell (~5,400× the 4M-pair budget, ~${resHot / 1000000}M pairs from that cell) | adaptive **${f"$tHotAdaptive%.2f"} s** vs plain grid ${f"$tHotGrid%.2f"} s (${f"${tHotGrid / tHotAdaptive}%.1f"}×) vs salted×32 ${f"$tHotSalted%.2f"} s (${f"${tHotSalted / tHotAdaptive}%.1f"}×, single run) — $resHot results, counts match: $hotCountsMatch; adaptive's time includes its sampled planning pass |

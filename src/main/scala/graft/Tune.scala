@@ -94,6 +94,28 @@ object Tune {
       t("salted x32")(SpatialJoins.gridJoinSalted(ha, hb, base, salt = 32).count())
       spark.stop(); return
     }
+    if (args.contains("plan")) {
+      // isolate the adaptive PLANNING premium on the even-density OSM-PP
+      // workload (r5 verdict item 3: adaptive = sweep plan + planning pass,
+      // and the pass alone costs ~1.8 s of a 3.4 s join)
+      a.unpersist(); b.unpersist()
+      val dext = Extent(0, 10003, 0, 10003)
+      val ga = Workloads.gaussianPolygons(spark, n, 1, meanEdge = 8.0, parts = 2 * cpus).cache()
+      val gb = Workloads.gaussianPolygons(spark, n, 2, meanEdge = 8.0, parts = 2 * cpus).cache()
+      println(s"gen: ${ga.count()} x ${gb.count()}")
+      val base = CellScheme.forSize(dext, n, targetPerCell = 512, maxN = 1024)
+      println(s"base grid ${base.nx}x${base.ny} cells=${base.numCells}")
+      t("sweep warm")(SpatialJoins.gridJoinSweep(ga, gb, base).count())
+      t("sweep")(SpatialJoins.gridJoinSweep(ga, gb, base).count())
+      for (i <- 1 to 3)
+        t(s"plan only sf=0.02 #$i")(graft.skew.AdaptiveCells
+          .plan(ga, gb, base, 1L << 22, sampleFraction = 0.02).splits.size.toLong)
+      t("adaptive warm")(SpatialJoins.gridJoinAdaptive(ga, gb, base, 1L << 22,
+        planSampleFraction = 0.02).count())
+      t("adaptive")(SpatialJoins.gridJoinAdaptive(ga, gb, base, 1L << 22,
+        planSampleFraction = 0.02).count())
+      spark.stop(); return
+    }
     if (args.contains("ivf")) {
       a.unpersist(); b.unpersist()
       import org.apache.spark.sql.functions._
@@ -122,12 +144,29 @@ object Tune {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
       println(s"docs=${docs.count()}")
+      t("plain join warm")(graft.ops.Dedup.jaccardPairs(docs, 3, 1, 2).count())
+      t("plain join")(graft.ops.Dedup.jaccardPairs(docs, 3, 1, 2).count())
+      t("prefix full warm")(graft.ops.Dedup.jaccardPairsPrefix(docs, 3, 1, 2).count())
       t("prefix full")(graft.ops.Dedup.jaccardPairsPrefix(docs, 3, 1, 2).count())
-      t("prefix full 2nd")(graft.ops.Dedup.jaccardPairsPrefix(docs, 3, 1, 2).count())
-      // phase split: candidates alone vs verify alone
+      // phase split: shingles alone / candidates alone / verify on top
       val shArr = graft.ops.Dedup.shingleFrame(docs, 3, "doc_id", "text")
         .filter(size(col("shs")) > 0).cache()
       t("shingle pass")(shArr.count())
+      val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+      val prefix = sh.join(freq, "sh")
+        .withColumn("pos", row_number().over(w))
+        .join(shArr.select(col("id"), size(col("shs")).cast("long").as("n")), "id")
+        .filter(col("pos") <= col("n") - floor((col("n") * 1 + 2 - 1) / 2).cast("long") + 1)
+        .select(col("id"), col("sh"))
+      t("prefix phase")(prefix.count())
+      val cand = prefix.toDF("a_id", "sh")
+        .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct().cache()
+      t("cand phase (cached)")(cand.count())
+      t("verify phase")(graft.ops.Dedup.verifyJaccard(cand, shArr, 1, 2, broadcastIds = true).count())
       spark.stop(); return
     }
     if (args.contains("stripes")) {

@@ -132,13 +132,26 @@ object AdaptiveCells {
     // flatMap decoded/re-encoded every row and made the planning pass cost
     // ~2 s of the zero-splits path's 5.3 s at 10M (Tune-measured; the gate's
     // whole point is that this pass is the only premium on even density).
-    def tagged(ds: Dataset[Geom], side: Int) = {
-      val in = if (sampleFraction >= 1.0) ds else ds.sample(sampleFraction, seed = 42L + side)
+    // the Bernoulli samples are PERSISTED (tiny: sampleFraction·rows) because
+    // they feed TWO consumers — the per-cell counts here and the median-
+    // object-extent clamp below. The r5 version re-sampled the FULL inputs
+    // for the median, paying a second two-sided input scan that was ~40% of
+    // the whole planning premium on the even-density bench workload (the
+    // pass the concentration gate exists to make cheap).
+    val sampled = sampleFraction < 1.0
+    val sa = if (!sampled) a
+             else a.sample(sampleFraction, 42L)
+               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sb = if (!sampled) b
+             else b.sample(sampleFraction, 43L)
+               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tagged(ds: Dataset[Geom], side: Int) =
       graft.join.SpatialJoins.withCells(
-          in.toDF("p_id", "p_xmin", "p_xmax", "p_ymin", "p_ymax"), base, "p")
+          ds.toDF("p_id", "p_xmin", "p_xmax", "p_ymin", "p_ymax"), base, "p")
         .select(col("cell"), lit(side).as("side"))
-    }
-    val counts0 = tagged(a, 0).unionByName(tagged(b, 1))
+    def releaseSamples(): Unit =
+      if (sampled) { sa.unpersist(blocking = false); sb.unpersist(blocking = false) }
+    val counts0 = tagged(sa, 0).unionByName(tagged(sb, 1))
       .groupBy("cell")
       .agg((count(when(col("side") === 0, lit(1))) * scale).as("na"),
            (count(when(col("side") === 1, lit(1))) * scale).as("nb"))
@@ -177,15 +190,21 @@ object AdaptiveCells {
     val splitThreshold =
       math.max(budgetPairs.toDouble, sumProd / (spreadFactor * parallelism))
     val counts = overThreshold(splitThreshold)
-    if (counts.isEmpty) return AdaptiveScheme(base, Map.empty, perCellMean)
+    if (counts.isEmpty) { releaseSamples(); return AdaptiveScheme(base, Map.empty, perCellMean) }
     // median object extent (sampled from both sides) bounds the split factor;
     // a uniform .sample — limit() takes whichever partitions answer first and
-    // is biased on spatially-sorted input. ~100k rows is plenty for a median;
-    // the replicated cell-count totals bound row counts from above (no extra
-    // full pass just to size the sample).
-    val medSample = math.min(1.0, 200000.0 / math.max(1L, totalA + totalB))
-    val med = a.sample(medSample, 42L).unionByName(b.sample(medSample, 43L)).select(
+    // is biased on spatially-sorted input. ~100k rows is plenty for a median.
+    // When the planner already sampled, the PERSISTED planning sample is the
+    // median's source (sub-sampled if still large) — no second full-input
+    // scan; the replicated cell-count totals bound row counts from above (no
+    // extra full pass just to size the sample).
+    val srcRows = if (sampled) (totalA + totalB).toDouble / scale
+                  else (totalA + totalB).toDouble
+    val medSample = math.min(1.0, 200000.0 / math.max(1.0, srcRows))
+    val medSrc = sa.unionByName(sb)
+    val med = (if (medSample < 1.0) medSrc.sample(medSample, 44L) else medSrc).select(
       expr("percentile(xmax - xmin, 0.5)"), expr("percentile(ymax - ymin, 0.5)")).head()
+    releaseSamples()
     val medW = if (med.isNullAt(0)) 1e-12 else math.max(med.getDouble(0), 1e-12)
     val medH = if (med.isNullAt(1)) 1e-12 else math.max(med.getDouble(1), 1e-12)
     val sCapW = math.max(1, (base.cellW / (2 * medW)).toInt)
