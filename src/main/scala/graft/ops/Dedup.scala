@@ -216,17 +216,24 @@ object Dedup {
     // cand is persisted because its lineage re-runs the freq/window prefix
     // pipeline and the verify phase scans it twice (id set + join); released
     // once the verified set is materialized.
-    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the broadcast-gate count is worth a job only at the corpus sizes this
-    // prefix plan is ROUTED to (jaccardPairsAuto's threshold): below it the
-    // candidate-id set is bounded by 2·#docs ≤ 2·smallMaxRows (the bounded
-    // confirm above), so skip the extra pipeline materialization and
-    // broadcast unconditionally — the r4 version paid the count + a second
-    // eager pass at every size, making the standalone prefix entry point 3×
-    // the plain join at oracle scale (10.2 s vs 3.2 s)
-    val broadcastIds = small || candP.count() <= 10000000L
-    finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds,
-      broadcastArrays = small), shArr, candP)
+    // when small, the verify broadcasts the whole (small-confirmed) array
+    // frame and consumes cand exactly ONCE — no id-set job, so no persist
+    // needed either: the one localCheckpoint pass in finishPairs is the only
+    // consumer of the candidate lineage. At routed scale cand feeds the
+    // id-set job plus the join base, so the persist pays for itself; the
+    // broadcast-gate count is worth a job only there too (below the router
+    // threshold the candidate-id set is bounded by 2·#docs ≤ 2·smallMaxRows
+    // via the bounded confirm above — the r4 version paid the count + a
+    // second eager pass at every size, making the standalone prefix entry
+    // point 3× the plain join at oracle scale, 10.2 s vs 3.2 s)
+    if (small)
+      finishPairs(verifyJaccard(cand, shArr, num, den, broadcastIds = true,
+        broadcastArrays = true), shArr)
+    else {
+      val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val broadcastIds = candP.count() <= 10000000L
+      finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds), shArr, candP)
+    }
   }
 
   /** Shared tail of the LSH/prefix pipelines: materialize the (tiny,
@@ -255,21 +262,26 @@ object Dedup {
                                    num: Int, den: Int,
                                    broadcastIds: Boolean,
                                    broadcastArrays: Boolean = false): DataFrame = {
-    // ONE scan of cand for the id set (explode, not a two-branch union): the
-    // candidate frame may be cold-cached when the broadcast stage runs first,
-    // and a union would compute its lineage once per branch
-    val candIds0 = cand
-      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    val candIds = if (broadcastIds) broadcast(candIds0) else candIds0
-    val shCand0 = shArr.join(candIds, "id")
     // `broadcastArrays` (small corpora only — a bounded-confirmed row count
     // upstream): at low thresholds the prefix keeps ~half of every doc's
     // shingles and the candidate set covers most of the corpus, so the two
     // array-attach joins shuffle the pair set twice and dominate the small-
     // corpus runtime (measured: the verify was 2.3 s of a 3.5 s run at 5k
-    // docs). Broadcasting the array frame (bounded by the same confirm that
-    // set `small`) turns both attaches into broadcast joins — zero shuffles.
-    val shCand = if (broadcastArrays) broadcast(shCand0) else shCand0
+    // docs). Broadcast the WHOLE array frame (bounded by the same confirm
+    // that set the flag): both attaches become broadcast joins — zero
+    // shuffles — and the candidate-id semi-join is skipped entirely, so
+    // `cand` appears ONCE in the verify plan (no id-set job, no double scan).
+    val shCand =
+      if (broadcastArrays) broadcast(shArr)
+      else {
+        // ONE scan of cand for the id set (explode, not a two-branch union):
+        // the candidate frame may be cold-cached when the broadcast stage
+        // runs first, and a union would compute its lineage once per branch
+        val candIds0 = cand
+          .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+        val candIds = if (broadcastIds) broadcast(candIds0) else candIds0
+        shArr.join(candIds, "id")
+      }
     cand.join(shCand.toDF("a_id", "a_shs"), "a_id")
       .join(shCand.toDF("b_id", "b_shs"), "b_id")
       .withColumn("common", size(array_intersect(col("a_shs"), col("b_shs"))).cast("long"))
