@@ -39,6 +39,26 @@ object Tune {
           println(f"    stage ${si.stageId}%3d ${si.name.take(30)}%-30s tasks=${si.numTasks}%4d wall=$dur%6.2f s")
       }
     })
+    if (args.contains("neardup")) {
+      // prefilter payoff check: single- vs multi-probe at the bench corpus
+      // shape (the r5 artifact's 12.4× multi-probe premium was almost all
+      // wide-array attach over random band collisions)
+      import org.apache.spark.sql.functions._
+      val dim = 64
+      def u(seed: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+      val base = spark.range(100000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j => u(col("id") * dim + j)).as("embedding"))
+      val emb = graft.ops.Similarity.withPlantedDups(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"vectors: ${emb.count()}")
+      for (i <- 1 to 2) {
+        t(s"neardup single $i")(graft.ops.Similarity.lshNearDupPairs(emb, 950, dim).count())
+        t(s"neardup multi $i")(
+          graft.ops.Similarity.lshNearDupPairs(emb, 950, dim, multiProbe = true).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("bucketed")) {
       // S3 payoff check: build-once cell-bucketed layout vs per-run shuffle
       // join — the lakehouse answer to the reference's tree_A.bin persistence

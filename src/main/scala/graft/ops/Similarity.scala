@@ -517,9 +517,10 @@ object Similarity {
     // lesson; with multi-probe's ×(1+r) fan-out the wide distinct measured
     // 178 s where the id-pair form stays in tens of MB. Embeddings+norms are
     // attached to the deduped pairs afterwards by two slim equi-joins.
-    def banded(p: String) = embs
-      .select(col("vec_id").as(s"${p}_id"),
-        posexplode(graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand)))
+    val sigs = embs.select(col("vec_id"),
+      graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand).as("sig"))
+    def banded(p: String) = sigs
+      .select(col("vec_id").as(s"${p}_id"), posexplode(col("sig")))
       .toDF(s"${p}_id", "band", "piece")
     // multi-probe (the same 1-bit-flip fan-out as lshTopKMultiProbe, applied
     // to the self-join): the a-side additionally probes every piece at
@@ -537,14 +538,53 @@ object Similarity {
         .withColumn("piece",
           expr("CASE WHEN flip < 0 THEN piece ELSE piece ^ shiftleft(CAST(1 AS BIGINT), flip) END"))
         .drop("flip")
-    val cand = aSide.join(banded("b").withColumnRenamed("band", "band_b")
+    val candRaw = aSide.join(banded("b").withColumnRenamed("band", "band_b")
         .withColumnRenamed("piece", "piece_b"),
         col("band") === col("band_b") && col("piece") === col("piece_b") &&
           col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+    // Hamming prefilter: a single-band collision says nothing about the
+    // OTHER bands, and multi-probe's ×(1+r) fan-out makes random collisions
+    // the dominant candidate mass (measured 51 s at 120k vectors, 12.4× the
+    // single-probe run, almost all of it attaching 2×dim-double arrays to
+    // ~20M junk pairs). Before touching the wide arrays, attach only the
+    // compact signatures (bands longs) and drop pairs whose FULL m-bit
+    // signature Hamming distance exceeds a threshold-derived cutoff: a pair
+    // at cosine c differs per sign bit with prob q = acos(c)/π, so hd ~
+    // Binomial(m, q) — cutoff m·q_t + 6σ passes a qualifying pair (c ≥ t,
+    // q ≤ q_t) w.p. ≥ 1-1e-9 while unrelated pairs (q ≈ 0.5, hd ≈ m/2) die.
+    // Deterministic per pair and applied identically on both probe modes, so
+    // the multi ⊇ single contract is preserved; precision is untouched (the
+    // exact integer-cosine filter still runs on the survivors).
+    val m = bands * rowsPerBand
+    val qT = math.acos(math.min(1.0, math.max(-1.0, tMilli / 1000.0))) / math.Pi
+    val hdCut = math.ceil(m * qT + 6.0 * math.sqrt(m * qT * (1.0 - qT))).toInt
+    def hamFilter(pairs: DataFrame, s: DataFrame): DataFrame = pairs
+      .join(s.toDF("a_id", "a_sig"), "a_id")
+      .join(s.toDF("b_id", "b_sig"), "b_id")
+      .filter(
+        expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+          <= lit(hdCut))
+      .select("a_id", "b_id")
+    // the sig frame is n × ~(8 + 8·bands) B — when a bounded count confirms
+    // it small (≤ 500k rows ≈ 50 MB at 12 bands; the count reads at most
+    // 500k+1 rows however large the corpus), BROADCAST it and filter the raw
+    // collision stream BEFORE the distinct: both attaches and the Hamming
+    // kill run map-side inside the band-join stage, so the distinct hashes
+    // only the ~0.1% survivors instead of the full collision mass (the
+    // distinct shuffle was the residual 13 s after the post-distinct variant
+    // of this filter). At 10⁹ vectors the gate fails closed and the order
+    // flips — distinct first (collision mass ≫ n makes the pair-shuffle the
+    // lesser evil), then a shuffle attach of compact sigs, still ~40×
+    // slimmer than the embedding arrays it replaces.
+    val slim =
+      if (hdCut >= m) candRaw.distinct()  // cutoff beyond the signature width
+      else if (embs.limit(500001).count() <= 500000L)
+        hamFilter(candRaw, broadcast(sigs)).distinct()
+      else hamFilter(candRaw.distinct(), sigs)
     val withN2 = embs.select(col("vec_id"), col("embedding"),
       qdot(col("embedding"), col("embedding")).as("n2"))
-    val attached = cand
+    val attached = slim
       .join(withN2.toDF("a_id", "a_q", "a_n2"), "a_id")
       .join(withN2.toDF("b_id", "b_q", "b_n2"), "b_id")
     exactCosineFilter(attached, tMilli)
