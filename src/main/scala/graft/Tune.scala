@@ -39,6 +39,26 @@ object Tune {
           println(f"    stage ${si.stageId}%3d ${si.name.take(30)}%-30s tasks=${si.numTasks}%4d wall=$dur%6.2f s")
       }
     })
+    if (args.contains("adaptplan")) {
+      // adaptive insurance-premium decomposition on the even-density
+      // OSM-PP-class workload: planning pass alone vs sweep vs adaptive
+      import graft.join.SpatialJoins
+      val ext2 = Extent(0, 10003, 0, 10003)
+      val ga = Workloads.gaussianPolygons(spark, n, 1, meanEdge = 8.0, parts = 64).cache()
+      val gb = Workloads.gaussianPolygons(spark, n, 2, meanEdge = 8.0, parts = 64).cache()
+      println(s"gen: ${ga.count()} x ${gb.count()}")
+      val scheme = CellScheme.forSize(ext2, n, targetPerCell = 512, maxN = 1024)
+      t("sweep warm")(SpatialJoins.gridJoinSweep(ga, gb, scheme).count())
+      for (i <- 1 to 2) {
+        t(s"plan only $i")({
+          graft.skew.AdaptiveCells.plan(ga, gb, scheme, budgetPairs = 1L << 22,
+            sampleFraction = 0.02).splits.size.toLong })
+        t(s"sweep $i")(SpatialJoins.gridJoinSweep(ga, gb, scheme).count())
+        t(s"adaptive $i")(SpatialJoins.gridJoinAdaptive(ga, gb, scheme,
+          budgetPairs = 1L << 22, planSampleFraction = 0.02).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("neardup")) {
       // prefilter payoff check: single- vs multi-probe at the bench corpus
       // shape (the r5 artifact's 12.4× multi-probe premium was almost all

@@ -132,55 +132,79 @@ object AdaptiveCells {
     // flatMap decoded/re-encoded every row and made the planning pass cost
     // ~2 s of the zero-splits path's 5.3 s at 10M (Tune-measured; the gate's
     // whole point is that this pass is the only premium on even density).
-    // the Bernoulli samples are PERSISTED (tiny: sampleFraction·rows) because
-    // they feed TWO consumers — the per-cell counts here and the median-
-    // object-extent clamp below. The r5 version re-sampled the FULL inputs
-    // for the median, paying a second two-sided input scan that was ~40% of
-    // the whole planning premium on the even-density bench workload (the
-    // pass the concentration gate exists to make cheap).
+    // The SAME aggregation also carries per-cell extent sums, so the
+    // median-object clamp below needs NO second job: the r5 version
+    // persisted the Bernoulli samples and ran a separate percentile pass
+    // over them, and that extra job (plus the sample persist it existed to
+    // feed) was ~40% of the whole planning premium on the even-density bench
+    // workload — the pass the concentration gate exists to make cheap.
     val sampled = sampleFraction < 1.0
-    val sa = if (!sampled) a
-             else a.sample(sampleFraction, 42L)
-               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sb = if (!sampled) b
-             else b.sample(sampleFraction, 43L)
-               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sa = if (!sampled) a else a.sample(sampleFraction, 42L)
+    val sb = if (!sampled) b else b.sample(sampleFraction, 43L)
     def tagged(ds: Dataset[Geom], side: Int) =
       graft.join.SpatialJoins.withCells(
           ds.toDF("p_id", "p_xmin", "p_xmax", "p_ymin", "p_ymax"), base, "p")
-        .select(col("cell"), lit(side).as("side"))
-    def releaseSamples(): Unit =
-      if (sampled) { sa.unpersist(blocking = false); sb.unpersist(blocking = false) }
+        .select(col("cell"), lit(side).as("side"),
+          (col("p_xmax") - col("p_xmin")).as("w"),
+          (col("p_ymax") - col("p_ymin")).as("h"))
+    // raw (unscaled) per-cell counts + extent sums; callers scale at use so
+    // the extent means stay in sample space (the scale cancels in the ratio)
     val counts0 = tagged(sa, 0).unionByName(tagged(sb, 1))
       .groupBy("cell")
-      .agg((count(when(col("side") === 0, lit(1))) * scale).as("na"),
-           (count(when(col("side") === 1, lit(1))) * scale).as("nb"))
+      .agg(count(when(col("side") === 0, lit(1))).as("cna"),
+           count(when(col("side") === 1, lit(1))).as("cnb"),
+           sum("w").as("sw"), sum("h").as("sh"))
     // Grids bounded enough to hold per-cell counts on the driver (every
     // realistic base grid — the planner's own forSize caps at maxN²) take
     // ONE job: collect the aggregated rows and derive totals, the work
-    // distribution and the over-threshold cells locally. Unbounded grids
-    // fall back to persist + two distributed aggregations. Per-cell count
-    // PRODUCTS are compared in double: at petabyte scale (and sample
-    // scale-up) they overflow int64 and would silently skip hot cells.
-    val (totalA, totalB, sumProd, occupiedCells, overThreshold) =
+    // distribution, the over-threshold cells AND the extent clamp locally.
+    // Unbounded grids fall back to persist + two distributed aggregations.
+    // Per-cell count PRODUCTS are compared in double: at petabyte scale (and
+    // sample scale-up) they overflow int64 and would silently skip hot
+    // cells. The object-extent estimate for the split clamp is the WEIGHTED
+    // MEDIAN ACROSS CELLS OF PER-CELL MEAN EXTENTS (weight = sampled replica
+    // count): per-cell means are pure sum aggregates (codegen'd, no sketch
+    // state), and the cross-cell median keeps the robustness the clamp
+    // needs — a few outlier-sized objects inflate only their own cells'
+    // means, which the median then ignores.
+    val (totalA, totalB, sumProd, occupiedCells, overThreshold, medW0, medH0) =
       if (base.numCells <= (1L << 20)) {
-        val all = counts0.collect() // ≤ numCells rows of (cell, na, nb)
-        val sumP = all.iterator.map(r => r.getLong(1).toDouble * r.getLong(2)).sum
-        (all.iterator.map(_.getLong(1)).sum, all.iterator.map(_.getLong(2)).sum,
+        val all = counts0.collect() // ≤ numCells rows of (cell, cna, cnb, sw, sh)
+        val sumP = all.iterator.map(r =>
+          r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)).sum
+        def weightedMedian(mean: org.apache.spark.sql.Row => Double): Double = {
+          val cells = all.map(r => (mean(r), r.getLong(1) + r.getLong(2)))
+            .filter(_._2 > 0).sortBy(_._1)
+          val half = cells.iterator.map(_._2).sum / 2.0
+          var acc = 0L
+          cells.find { case (_, c) => acc += c; acc >= half }.map(_._1).getOrElse(0.0)
+        }
+        (all.iterator.map(_.getLong(1)).sum * scale,
+         all.iterator.map(_.getLong(2)).sum * scale,
          sumP, math.max(1L, all.length.toLong),
          (threshold: Double) =>
-           all.filter(r => r.getLong(1).toDouble * r.getLong(2) > threshold))
+           all.filter(r => r.getLong(1) * scale.toDouble *
+             (r.getLong(2) * scale.toDouble) > threshold),
+         weightedMedian(r => r.getDouble(3) / (r.getLong(1) + r.getLong(2))),
+         weightedMedian(r => r.getDouble(4) / (r.getLong(1) + r.getLong(2))))
       } else {
         val cached = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prod = col("na").cast("double") * col("nb").cast("double")
-        val tot = cached.agg(coalesce(sum("na"), lit(0L)), coalesce(sum("nb"), lit(0L)),
-          coalesce(sum(prod), lit(0.0)), count(lit(1))).head()
-        ((tot.getLong(0), tot.getLong(1), tot.getDouble(2), math.max(1L, tot.getLong(3)),
+        val prod = col("cna").cast("double") * lit(scale.toDouble) *
+          col("cnb").cast("double") * lit(scale.toDouble)
+        val cnt = col("cna") + col("cnb")
+        val tot = cached.agg(coalesce(sum("cna"), lit(0L)), coalesce(sum("cnb"), lit(0L)),
+          coalesce(sum(prod), lit(0.0)), count(lit(1)),
+          expr("percentile(sw / (cna + cnb), 0.5, cna + cnb)"),
+          expr("percentile(sh / (cna + cnb), 0.5, cna + cnb)")).head()
+        ((tot.getLong(0) * scale, tot.getLong(1) * scale, tot.getDouble(2),
+          math.max(1L, tot.getLong(3)),
           (threshold: Double) => {
             val rows = cached.filter(prod > threshold).collect()
             cached.unpersist()
             rows
-          }))
+          },
+          if (tot.isNullAt(4)) 0.0 else tot.getDouble(4),
+          if (tot.isNullAt(5)) 0.0 else tot.getDouble(5)))
       }
     val perCellMean = math.max(totalA, totalB).toDouble / occupiedCells
     val parallelism = math.max(1, a.sparkSession.sparkContext.defaultParallelism)
@@ -190,30 +214,16 @@ object AdaptiveCells {
     val splitThreshold =
       math.max(budgetPairs.toDouble, sumProd / (spreadFactor * parallelism))
     val counts = overThreshold(splitThreshold)
-    if (counts.isEmpty) { releaseSamples(); return AdaptiveScheme(base, Map.empty, perCellMean) }
-    // median object extent (sampled from both sides) bounds the split factor;
-    // a uniform .sample — limit() takes whichever partitions answer first and
-    // is biased on spatially-sorted input. ~100k rows is plenty for a median.
-    // When the planner already sampled, the PERSISTED planning sample is the
-    // median's source (sub-sampled if still large) — no second full-input
-    // scan; the replicated cell-count totals bound row counts from above (no
-    // extra full pass just to size the sample).
-    val srcRows = if (sampled) (totalA + totalB).toDouble / scale
-                  else (totalA + totalB).toDouble
-    val medSample = math.min(1.0, 200000.0 / math.max(1.0, srcRows))
-    val medSrc = sa.unionByName(sb)
-    val med = (if (medSample < 1.0) medSrc.sample(medSample, 44L) else medSrc).select(
-      expr("percentile(xmax - xmin, 0.5)"), expr("percentile(ymax - ymin, 0.5)")).head()
-    releaseSamples()
-    val medW = if (med.isNullAt(0)) 1e-12 else math.max(med.getDouble(0), 1e-12)
-    val medH = if (med.isNullAt(1)) 1e-12 else math.max(med.getDouble(1), 1e-12)
+    if (counts.isEmpty) return AdaptiveScheme(base, Map.empty, perCellMean)
+    val medW = math.max(medW0, 1e-12)
+    val medH = math.max(medH0, 1e-12)
     val sCapW = math.max(1, (base.cellW / (2 * medW)).toInt)
     val sCapH = math.max(1, (base.cellH / (2 * medH)).toInt)
     val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
     // sCap < 2 means cells are already ~2 median object extents: splitting
     // would only multiply replication, so no splits at all in that regime
     val splits = counts.map { r =>
-      val prod = r.getLong(1).toDouble * r.getLong(2).toDouble
+      val prod = r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)
       val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1
       r.getLong(0) -> math.min(s, sCap)
     }.filter(_._2 >= 2).toMap
