@@ -97,8 +97,8 @@ object AdaptiveCells {
 
   /** Plan splits from per-cell counts: a hot cell gets an s×s subgrid with
     * s ≈ (|A|·|B| / budget)^(1/4) (each side shrinks ~s², the product ~s⁴
-    * under uniformity), clamped by the median object size so a subcell never
-    * drops below ~2 median extents (replication bound).
+    * under uniformity), clamped by the cell's own mean object size so a
+    * subcell never drops below ~2 object extents (replication bound).
     *
     * "Hot" is a CONCENTRATION criterion, not an absolute one: a cell is
     * split only when its pair product exceeds
@@ -133,11 +133,11 @@ object AdaptiveCells {
     // ~2 s of the zero-splits path's 5.3 s at 10M (Tune-measured; the gate's
     // whole point is that this pass is the only premium on even density).
     // The SAME aggregation also carries per-cell extent sums, so the
-    // median-object clamp below needs NO second job: the r5 version
-    // persisted the Bernoulli samples and ran a separate percentile pass
-    // over them, and that extra job (plus the sample persist it existed to
-    // feed) was ~40% of the whole planning premium on the even-density bench
-    // workload — the pass the concentration gate exists to make cheap.
+    // object-size split clamp below needs NO second job: the r5 version
+    // persisted the Bernoulli samples and ran a separate global-percentile
+    // pass over them, and that extra job (plus the sample persist it existed
+    // to feed) was ~40% of the whole planning premium on the even-density
+    // bench workload — the pass the concentration gate exists to make cheap.
     val sampled = sampleFraction < 1.0
     val sa = if (!sampled) a else a.sample(sampleFraction, 42L)
     val sb = if (!sampled) b else b.sample(sampleFraction, 43L)
@@ -161,50 +161,32 @@ object AdaptiveCells {
     // Unbounded grids fall back to persist + two distributed aggregations.
     // Per-cell count PRODUCTS are compared in double: at petabyte scale (and
     // sample scale-up) they overflow int64 and would silently skip hot
-    // cells. The object-extent estimate for the split clamp is the WEIGHTED
-    // MEDIAN ACROSS CELLS OF PER-CELL MEAN EXTENTS (weight = sampled replica
-    // count): per-cell means are pure sum aggregates (codegen'd, no sketch
-    // state), and the cross-cell median keeps the robustness the clamp
-    // needs — a few outlier-sized objects inflate only their own cells'
-    // means, which the median then ignores.
-    val (totalA, totalB, sumProd, occupiedCells, overThreshold, medW0, medH0) =
+    // cells. The split clamp (below) reads each over-threshold cell's OWN
+    // extent sums, so no global statistic is computed here.
+    val (totalA, totalB, sumProd, occupiedCells, overThreshold) =
       if (base.numCells <= (1L << 20)) {
         val all = counts0.collect() // ≤ numCells rows of (cell, cna, cnb, sw, sh)
         val sumP = all.iterator.map(r =>
           r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)).sum
-        def weightedMedian(mean: org.apache.spark.sql.Row => Double): Double = {
-          val cells = all.map(r => (mean(r), r.getLong(1) + r.getLong(2)))
-            .filter(_._2 > 0).sortBy(_._1)
-          val half = cells.iterator.map(_._2).sum / 2.0
-          var acc = 0L
-          cells.find { case (_, c) => acc += c; acc >= half }.map(_._1).getOrElse(0.0)
-        }
         (all.iterator.map(_.getLong(1)).sum * scale,
          all.iterator.map(_.getLong(2)).sum * scale,
          sumP, math.max(1L, all.length.toLong),
          (threshold: Double) =>
            all.filter(r => r.getLong(1) * scale.toDouble *
-             (r.getLong(2) * scale.toDouble) > threshold),
-         weightedMedian(r => r.getDouble(3) / (r.getLong(1) + r.getLong(2))),
-         weightedMedian(r => r.getDouble(4) / (r.getLong(1) + r.getLong(2))))
+             (r.getLong(2) * scale.toDouble) > threshold))
       } else {
         val cached = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prod = col("cna").cast("double") * lit(scale.toDouble) *
           col("cnb").cast("double") * lit(scale.toDouble)
-        val cnt = col("cna") + col("cnb")
         val tot = cached.agg(coalesce(sum("cna"), lit(0L)), coalesce(sum("cnb"), lit(0L)),
-          coalesce(sum(prod), lit(0.0)), count(lit(1)),
-          expr("percentile(sw / (cna + cnb), 0.5, cna + cnb)"),
-          expr("percentile(sh / (cna + cnb), 0.5, cna + cnb)")).head()
+          coalesce(sum(prod), lit(0.0)), count(lit(1))).head()
         ((tot.getLong(0) * scale, tot.getLong(1) * scale, tot.getDouble(2),
           math.max(1L, tot.getLong(3)),
           (threshold: Double) => {
             val rows = cached.filter(prod > threshold).collect()
             cached.unpersist()
             rows
-          },
-          if (tot.isNullAt(4)) 0.0 else tot.getDouble(4),
-          if (tot.isNullAt(5)) 0.0 else tot.getDouble(5)))
+          }))
       }
     val perCellMean = math.max(totalA, totalB).toDouble / occupiedCells
     val parallelism = math.max(1, a.sparkSession.sparkContext.defaultParallelism)
@@ -215,14 +197,25 @@ object AdaptiveCells {
       math.max(budgetPairs.toDouble, sumProd / (spreadFactor * parallelism))
     val counts = overThreshold(splitThreshold)
     if (counts.isEmpty) return AdaptiveScheme(base, Map.empty, perCellMean)
-    val medW = math.max(medW0, 1e-12)
-    val medH = math.max(medH0, 1e-12)
-    val sCapW = math.max(1, (base.cellW / (2 * medW)).toInt)
-    val sCapH = math.max(1, (base.cellH / (2 * medH)).toInt)
-    val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
-    // sCap < 2 means cells are already ~2 median object extents: splitting
-    // would only multiply replication, so no splits at all in that regime
+    // split clamp: a subcell must stay ≥ ~2 mean object extents OF THE CELL
+    // BEING SPLIT (reference stop rule `partition_utils.hpp:226-277` uses a
+    // globally sampled median; per-cell is strictly more targeted and free —
+    // the planning rows already carry each cell's extent sums). Per-cell
+    // matters under mixed sizes: a handful of map-spanning objects replicate
+    // into thousands of cells and would drag any replica-weighted GLOBAL
+    // statistic up to their own size, vetoing splits of hot cells full of
+    // small objects. Here they only veto the cells they actually occupy —
+    // where splitting genuinely just multiplies their replication. The
+    // per-cell MEAN is robust enough: an over-threshold cell has many rows
+    // by construction, so a few oversized residents barely move its mean.
+    // sCap < 2 means the cell is already ~2 mean extents: no split at all.
     val splits = counts.map { r =>
+      val cnt = r.getLong(1) + r.getLong(2) // > 0: the cell is over threshold
+      val meanW = math.max(r.getDouble(3) / cnt, 1e-12)
+      val meanH = math.max(r.getDouble(4) / cnt, 1e-12)
+      val sCapW = math.max(1, (base.cellW / (2 * meanW)).toInt)
+      val sCapH = math.max(1, (base.cellH / (2 * meanH)).toInt)
+      val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
       val prod = r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)
       val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1
       r.getLong(0) -> math.min(s, sCap)

@@ -119,6 +119,34 @@ class SkewSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("split clamp is per cell: map-spanning outliers elsewhere don't veto hot-cell splits") {
+    // a hot district of SMALL objects must still split when the corpus also
+    // contains a few map-sized objects: those replicate into thousands of
+    // cells, and any replica-weighted GLOBAL size statistic would be dragged
+    // up to their extent, collapsing the split cap to 1 everywhere. The
+    // per-cell clamp reads only the hot cell's own mean extent.
+    import spark.implicits._
+    val hotA = Workloads.hotspotPolygons(spark, 4000, seed = 51, mapEdge = 1000.0,
+      hotFrac = 0.6, hotX = 100, hotY = 100, hotW = 1.0, meanEdge = 0.05)
+    val hotB = Workloads.hotspotPolygons(spark, 4000, seed = 52, mapEdge = 1000.0,
+      hotFrac = 0.6, hotX = 100, hotY = 100, hotW = 1.0, meanEdge = 0.05)
+    // 8 giants per side, each covering most of the map but NOT the hot corner
+    def giants(idBase: Long) = spark.createDataset((0 until 8).map { i =>
+      Geom(idBase + i, 200.0 + i, 990.0, 200.0 + i, 990.0)
+    })
+    val a = hotA.unionByName(giants(1000000L))
+    val b = hotB.unionByName(giants(2000000L))
+    val base = CellScheme(Extent(0, 1001, 0, 1001), 16, 16)
+    val planned = AdaptiveCells.plan(a, b, base, budgetPairs = 100000)
+    val hotCell = base.cellOf(100.5, 100.5)
+    assert(planned.splits.getOrElse(hotCell, 1) >= 2,
+      s"hot cell $hotCell must split despite outliers (splits=${planned.splits})")
+    // and the join stays exact with the outliers in play
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(pairs(SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 100000)) == want)
+    assert(want.nonEmpty)
+  }
+
   test("planner's distributed fallback (numCells > 2^20) agrees with the collect path") {
     // grids too large to collect per-cell counts on the driver take the
     // persist + two-aggregation path — same totals, same threshold, same
