@@ -79,6 +79,19 @@ object Tune {
       }
       spark.stop(); return
     }
+    if (args.contains("jacprefix")) {
+      // prefix-Jaccard fixed overhead at oracle sizes (r5 verdict item 4:
+      // target ≤1.5× the plain shingle join on the sf0.1 documents table)
+      a.unpersist(); b.unpersist()
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      println(s"docs: ${docs.count()}")
+      for (i <- 1 to 3) {
+        t(s"plain  $i")(graft.ops.Dedup.jaccardPairs(docs, 3, 1, 2).count())
+        t(s"prefix $i")(graft.ops.Dedup.jaccardPairsPrefix(docs, 3, 1, 2).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("bucketed")) {
       // S3 payoff check: build-once cell-bucketed layout vs per-run shuffle
       // join — the lakehouse answer to the reference's tree_A.bin persistence
@@ -194,13 +207,16 @@ object Tune {
       t("shingle pass")(shArr.count())
       val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
       val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+      // the shipped fused form (Dedup.jaccardPairsPrefix): one aggregation,
+      // local array_sort + slice — no window exchange, no doc-length re-join
+      val nCol = size(col("dsh")).cast("long")
+      val prefLen = greatest(lit(0L),
+        nCol - floor((nCol * 1 + 2 - 1) / 2).cast("long") + 1).cast("int")
       val prefix = sh.join(freq, "sh")
-        .withColumn("pos", row_number().over(w))
-        .join(shArr.select(col("id"), size(col("shs")).cast("long").as("n")), "id")
-        .filter(col("pos") <= col("n") - floor((col("n") * 1 + 2 - 1) / 2).cast("long") + 1)
-        .select(col("id"), col("sh"))
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("dsh"))
+        .select(col("id"), explode(slice(col("dsh"), lit(1), prefLen)).as("ds"))
+        .select(col("id"), col("ds.sh").as("sh"))
       t("prefix phase")(prefix.count())
       val cand = prefix.toDF("a_id", "sh")
         .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))

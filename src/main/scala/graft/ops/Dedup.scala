@@ -159,9 +159,9 @@ object Dedup {
     // ONE partition, and the tokenize+shingle+hash work — the dominant cost
     // — would run single-threaded. The shuffle moves raw text once (tiny
     // relative to the shingle explosion it unlocks parallelism for).
-    // PERSIST the shingle frame: it feeds the freq count, the prefix rank,
-    // the length attach AND the verify phase — five consumers that would
-    // each re-run the shingle pass (measured 18.7 s → 3.5 s at sf0.1).
+    // PERSIST the shingle frame: it feeds the freq count, the prefix
+    // aggregation AND the verify phase — consumers that would each re-run
+    // the shingle pass (measured 18.7 s → 3.5 s at sf0.1).
     val spark = docs.sparkSession
     // below the router threshold the broadcast-gate count AND the persist
     // pair are skipped (see the verify phase / shArr) — the repartition
@@ -180,29 +180,16 @@ object Dedup {
     val in =
       if (docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism / 2) docs
       else docs.repartition(spark.sparkContext.defaultParallelism)
-    // shArr feeds ~4 distinct consumer shapes (freq, window rank, length
-    // attach, verify) whose exchanges differ, so without this cache each
-    // would re-run the shingle pass — and the final verified plan holds the
+    // shArr feeds 3 distinct consumer shapes (freq, the prefix join base,
+    // verify) whose exchanges differ, so without this cache each would
+    // re-run the shingle pass — and the final verified plan holds the
     // candidate lineage 3× and the shingle lineage 4×, so dropping the
     // persists multiplies the WHOLE pipeline, not just the shingle scan
     // (A/B at 5k docs: no-persist measured 24-40 s vs ~6 s persisted)
     val shArr = shingleFrame(in, k, idCol, textCol)
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // global order = (df, sh); rank shingles per doc, keep the prefix
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("sh"))
-    // prefix length = n - ceil(t*n) + 1, in INTEGER arithmetic: the float
-    // form floor((1-t)*n)+1 under-counts by one whenever t*n is an exact
-    // integer (e.g. t=4/5, n=5 -> 0.19999... * 5), losing qualifying pairs
-    val prefix = sh.join(freq, "sh")
-      .withColumn("pos", row_number().over(w))
-      .join(shArr.select(col("id"), size(col("shs")).cast("long").as("n")), "id")
-      .filter(col("pos") <=
-        col("n") - floor((col("n") * num + den - 1) / den).cast("long") + 1)
-      .select(col("id"), col("sh"))
+    val prefix = prefixFrame(shArr, num, den)
     val cand = prefix.toDF("a_id", "sh")
       .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
@@ -213,7 +200,7 @@ object Dedup {
     // the verify shuffle — exactly the large-corpus regime this prefix path
     // is routed to. The r3 version attached arrays with two plain equi-joins
     // against the FULL corpus frame, shuffling every document's array twice.
-    // cand is persisted because its lineage re-runs the freq/window prefix
+    // cand is persisted because its lineage re-runs the freq/prefix
     // pipeline and the verify phase scans it twice (id set + join); released
     // once the verified set is materialized.
     // when small, the verify broadcasts the whole (small-confirmed) array
@@ -234,6 +221,35 @@ object Dedup {
       val broadcastIds = candP.count() <= 10000000L
       finishPairs(verifyJaccard(candP, shArr, num, den, broadcastIds), shArr, candP)
     }
+  }
+
+  /** PPJoin prefix shingles `(id, sh)` of each doc in `shArr(id, shs)`:
+    * shingles ordered by ascending global frequency (total order (df, sh)),
+    * first `n - ⌈t·n⌉ + 1` kept. The r5 form ranked with a window
+    * (exchange-by-id + full partition sort) and then RE-joined shArr for the
+    * doc length — two extra exchanges that dominated the standalone entry
+    * point at oracle sizes (2.1× the plain join). Fused: collect each doc's
+    * (df, sh) structs in ONE aggregation, array_sort locally (same total
+    * order — shs is distinct per doc, so (df, sh) is unique), and slice the
+    * prefix; the doc length is just size(dsh), no second join. The plan is
+    * window-free at any size (DedupRoutingSpec asserts it).
+    *
+    * Prefix length in INTEGER arithmetic, `n - ceil(t*n) + 1` =
+    * `n - floor((n*num + den - 1)/den) + 1`: the float form
+    * `floor((1-t)*n)+1` under-counts by one whenever `t*n` is an exact
+    * integer (e.g. t=4/5, n=5 -> 0.19999... * 5), losing qualifying pairs.
+    */
+  private[graft] def prefixFrame(shArr: DataFrame, num: Int, den: Int): DataFrame = {
+    val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val nCol = size(col("dsh")).cast("long")
+    val prefLen = greatest(lit(0L),
+      nCol - floor((nCol * num + den - 1) / den).cast("long") + 1).cast("int")
+    sh.join(freq, "sh")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("dsh"))
+      .select(col("id"), explode(slice(col("dsh"), lit(1), prefLen)).as("ds"))
+      .select(col("id"), col("ds.sh").as("sh"))
   }
 
   /** Shared tail of the LSH/prefix pipelines: materialize the (tiny,

@@ -19,6 +19,20 @@ class DedupRoutingSpec extends AnyFunSuite {
     assert(viaPlain == viaPrefix && viaPlain.nonEmpty)
   }
 
+  test("prefix pipeline plans no Window operator (rank is fused into the aggregation)") {
+    // the r5 form ranked prefixes with row_number().over(Window.partitionBy(id))
+    // — an exchange + full partition sort that dominated the standalone entry
+    // point at oracle sizes. The fused form must keep the whole prefix
+    // computation window-free at ANY size (it is the scale route's plan too).
+    val docs = graft.ingest.Workloads.syntheticDocs(spark, 500, tokensPerDoc = 20)
+    val plan = Dedup.jaccardPairsPrefix(docs, 3, 1, 2)
+      .queryExecution.optimizedPlan
+    val hasWindow = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+    assert(!hasWindow, "prefix pipeline regressed to a window rank")
+  }
+
   test("verify phase broadcasts the candidate-id set (arrays never shuffle corpus-wide)") {
     import org.apache.spark.sql.functions._
     val docs = graft.ingest.Workloads.syntheticDocs(spark, 3000, tokensPerDoc = 30)
