@@ -205,18 +205,10 @@ object Tune {
       val shArr = graft.ops.Dedup.shingleFrame(docs, 3, "doc_id", "text")
         .filter(size(col("shs")) > 0).cache()
       t("shingle pass")(shArr.count())
-      val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      // the shipped fused form (Dedup.jaccardPairsPrefix): one aggregation,
-      // local array_sort + slice — no window exchange, no doc-length re-join
-      val nCol = size(col("dsh")).cast("long")
-      val prefLen = greatest(lit(0L),
-        nCol - floor((nCol * 1 + 2 - 1) / 2).cast("long") + 1).cast("int")
-      val prefix = sh.join(freq, "sh")
-        .groupBy(col("id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("dsh"))
-        .select(col("id"), explode(slice(col("dsh"), lit(1), prefLen)).as("ds"))
-        .select(col("id"), col("ds.sh").as("sh"))
+      // the SHIPPED prefix plan (one aggregation, local array_sort + slice) —
+      // call it, don't re-implement it, so this timing can't drift from the
+      // plan the product runs
+      val prefix = graft.ops.Dedup.prefixFrame(shArr, 1, 2)
       t("prefix phase")(prefix.count())
       val cand = prefix.toDF("a_id", "sh")
         .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
@@ -315,8 +307,13 @@ object Tune {
     }
     val s16 = CellScheme.forSize(ext, n, targetPerCell = 16, maxN = 8192)
     t("warmup")(SpatialJoins.gridJoin(a, b, s16).count())
-    for (round <- 1 to 3)
+    t("warmup hash")(SpatialJoins.gridJoinHinted(a, b, s16, "shuffle_hash").count())
+    // interleaved so a neighbour-load spike cannot sink one variant's sample
+    for (round <- 1 to 4) {
       t(s"smj tpc=16 r$round cores=$cpus")(SpatialJoins.gridJoin(a, b, s16).count())
+      t(s"shuffle_hash tpc=16 r$round")(
+        SpatialJoins.gridJoinHinted(a, b, s16, "shuffle_hash").count())
+    }
     for (tpc <- Seq(64, 256, 1024)) {
       val sc = CellScheme.forSize(ext, n, targetPerCell = tpc, maxN = 8192)
       t(s"rsort sweep tpc=$tpc warm")(SpatialJoins.gridJoinSweep(a, b, sc).count())

@@ -170,13 +170,21 @@ object Dedup {
     // CONFIRMED by a bounded count (the intersectJoin pattern): stats
     // under-count column-pruned scans, and a false "small" here would
     // broadcast the candidate-id set of an arbitrarily large corpus
-    // unconditionally. The broadcast is the candidate-ID set — bounded by
-    // 2·#docs — so confirming the row count directly bounds the broadcast:
-    // limit(N+1).count() reads at most N+1 rows, never a full scan.
+    // unconditionally. The small route broadcasts the whole shingle-ARRAY
+    // frame (verify broadcastArrays), whose size is O(corpus TOKENS), so a
+    // row cap alone does not bound it — ~200k long compressible docs can
+    // pass a row confirm with multi-GB arrays. The confirm therefore bounds
+    // BYTES too: one aggregate over limit(N+1) reads at most N+1 rows (never
+    // a full scan) and yields both the capped row count and the text bytes.
     val smallMaxRows = (64L << 20) / 256L // threshold at ~256 B/doc of text
-    val small =
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20) &&
-        docs.limit((smallMaxRows + 1).toInt).count() <= smallMaxRows
+    val small = {
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(64L << 20) && {
+        val r = docs.limit((smallMaxRows + 1).toInt)
+          .agg(count(lit(1)), sum(length(col(textCol)))).head()
+        r.getLong(0) <= smallMaxRows &&
+          (r.isNullAt(1) || r.getLong(1) <= (64L << 20))
+      }
+    }
     val in =
       if (docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism / 2) docs
       else docs.repartition(spark.sparkContext.defaultParallelism)

@@ -517,8 +517,15 @@ object Similarity {
     // lesson; with multi-probe's ×(1+r) fan-out the wide distinct measured
     // 178 s where the id-pair form stays in tens of MB. Embeddings+norms are
     // attached to the deduped pairs afterwards by two slim equi-joins.
+    // PERSIST the signature frame: it feeds both banded sides plus the two
+    // hamFilter attaches — without the cache the dim×(bands·rowsPerBand)
+    // HyperplaneBands multiply pass re-runs over the FULL corpus up to four
+    // times per call, exactly on the ≥500k-row path sized for 10⁹ vectors.
+    // Released below once the slim survivor pair set is materialized (the
+    // finishPairs pattern from the Dedup pipelines).
     val sigs = embs.select(col("vec_id"),
       graft.functions.HyperplaneBands(col("embedding"), planes, dim, rowsPerBand).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(p: String) = sigs
       .select(col("vec_id").as(s"${p}_id"), posexplode(col("sig")))
       .toDF(s"${p}_id", "band", "piece")
@@ -577,11 +584,15 @@ object Similarity {
     // flips — distinct first (collision mass ≫ n makes the pair-shuffle the
     // lesser evil), then a shuffle attach of compact sigs, still ~40×
     // slimmer than the embedding arrays it replaces.
-    val slim =
+    val slimPlan =
       if (hdCut >= m) candRaw.distinct()  // cutoff beyond the signature width
       else if (embs.limit(500001).count() <= 500000L)
         hamFilter(candRaw, broadcast(sigs)).distinct()
       else hamFilter(candRaw.distinct(), sigs)
+    // materialize the (tiny, O(survivor-pairs)) id set eagerly so the sig
+    // cache can be released before the wide embedding attach runs
+    val slim = slimPlan.localCheckpoint()
+    sigs.unpersist(blocking = false)
     val withN2 = embs.select(col("vec_id"), col("embedding"),
       qdot(col("embedding"), col("embedding")).as("n2"))
     val attached = slim

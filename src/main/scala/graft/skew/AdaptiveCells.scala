@@ -97,8 +97,9 @@ object AdaptiveCells {
 
   /** Plan splits from per-cell counts: a hot cell gets an s×s subgrid with
     * s ≈ (|A|·|B| / budget)^(1/4) (each side shrinks ~s², the product ~s⁴
-    * under uniformity), clamped by the cell's own mean object size so a
-    * subcell never drops below ~2 object extents (replication bound).
+    * under uniformity), clamped by the cell's own MEDIAN object size so a
+    * subcell never drops below ~2 typical object extents (replication
+    * bound robust to an oversized minority inside the cell).
     *
     * "Hot" is a CONCENTRATION criterion, not an absolute one: a cell is
     * split only when its pair product exceeds
@@ -132,12 +133,14 @@ object AdaptiveCells {
     // flatMap decoded/re-encoded every row and made the planning pass cost
     // ~2 s of the zero-splits path's 5.3 s at 10M (Tune-measured; the gate's
     // whole point is that this pass is the only premium on even density).
-    // The SAME aggregation also carries per-cell extent sums, so the
-    // object-size split clamp below needs NO second job: the r5 version
-    // persisted the Bernoulli samples and ran a separate global-percentile
-    // pass over them, and that extra job (plus the sample persist it existed
-    // to feed) was ~40% of the whole planning premium on the even-density
-    // bench workload — the pass the concentration gate exists to make cheap.
+    // The aggregation carries COUNTS ONLY; the object-size split clamp reads
+    // per-cell extent MEDIANS from a second bounded pass that runs only when
+    // over-threshold cells exist — the even-density zero-splits path (the
+    // one whose planning premium the concentration gate exists to protect)
+    // pays nothing for the clamp at all. The r5 version persisted the
+    // Bernoulli samples and ran a separate global-percentile pass
+    // unconditionally, ~40% of the whole planning premium on the
+    // even-density bench workload.
     val sampled = sampleFraction < 1.0
     val sa = if (!sampled) a else a.sample(sampleFraction, 42L)
     val sb = if (!sampled) b else b.sample(sampleFraction, 43L)
@@ -147,13 +150,11 @@ object AdaptiveCells {
         .select(col("cell"), lit(side).as("side"),
           (col("p_xmax") - col("p_xmin")).as("w"),
           (col("p_ymax") - col("p_ymin")).as("h"))
-    // raw (unscaled) per-cell counts + extent sums; callers scale at use so
-    // the extent means stay in sample space (the scale cancels in the ratio)
+    // raw (unscaled) per-cell counts; callers scale at use
     val counts0 = tagged(sa, 0).unionByName(tagged(sb, 1))
       .groupBy("cell")
       .agg(count(when(col("side") === 0, lit(1))).as("cna"),
-           count(when(col("side") === 1, lit(1))).as("cnb"),
-           sum("w").as("sw"), sum("h").as("sh"))
+           count(when(col("side") === 1, lit(1))).as("cnb"))
     // Grids bounded enough to hold per-cell counts on the driver (every
     // realistic base grid — the planner's own forSize caps at maxN²) take
     // ONE job: collect the aggregated rows and derive totals, the work
@@ -162,10 +163,10 @@ object AdaptiveCells {
     // Per-cell count PRODUCTS are compared in double: at petabyte scale (and
     // sample scale-up) they overflow int64 and would silently skip hot
     // cells. The split clamp (below) reads each over-threshold cell's OWN
-    // extent sums, so no global statistic is computed here.
+    // extent medians, so no global statistic is computed here.
     val (totalA, totalB, sumProd, occupiedCells, overThreshold) =
       if (base.numCells <= (1L << 20)) {
-        val all = counts0.collect() // ≤ numCells rows of (cell, cna, cnb, sw, sh)
+        val all = counts0.collect() // ≤ numCells rows of (cell, cna, cnb)
         val sumP = all.iterator.map(r =>
           r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)).sum
         (all.iterator.map(_.getLong(1)).sum * scale,
@@ -197,24 +198,31 @@ object AdaptiveCells {
       math.max(budgetPairs.toDouble, sumProd / (spreadFactor * parallelism))
     val counts = overThreshold(splitThreshold)
     if (counts.isEmpty) return AdaptiveScheme(base, Map.empty, perCellMean)
-    // split clamp: a subcell must stay ≥ ~2 mean object extents OF THE CELL
-    // BEING SPLIT (reference stop rule `partition_utils.hpp:226-277` uses a
-    // globally sampled median; per-cell is strictly more targeted and free —
-    // the planning rows already carry each cell's extent sums). Per-cell
+    // split clamp: a subcell must stay ≥ ~2 MEDIAN object extents OF THE
+    // CELL BEING SPLIT (reference stop rule `partition_utils.hpp:226-277`
+    // samples a global median; per-cell is strictly more targeted). Per-cell
     // matters under mixed sizes: a handful of map-spanning objects replicate
     // into thousands of cells and would drag any replica-weighted GLOBAL
     // statistic up to their own size, vetoing splits of hot cells full of
-    // small objects. Here they only veto the cells they actually occupy —
-    // where splitting genuinely just multiplies their replication. The
-    // per-cell MEAN is robust enough: an over-threshold cell has many rows
-    // by construction, so a few oversized residents barely move its mean.
-    // sCap < 2 means the cell is already ~2 mean extents: no split at all.
+    // small objects. MEDIAN (not mean) matters INSIDE a hot cell: a 30%
+    // minority of cell-sized residents pulls the mean to ~0.3 cell widths
+    // (cap 1 — split vetoed) while the majority is tiny and splits fine; the
+    // median tracks the majority and only vetoes when most residents really
+    // span the cell. Computed in ONE extra bounded aggregation filtered to
+    // the over-threshold cells (≲ spreadFactor·parallelism of them by
+    // construction) — the zero-splits path never reaches this job.
+    // sCap < 2 means the cell is already ~2 median extents: no split at all.
+    val hotCells = counts.map(_.getLong(0)).toSeq
+    val med = tagged(sa, 0).unionByName(tagged(sb, 1))
+      .filter(col("cell").isInCollection(hotCells))
+      .groupBy("cell")
+      .agg(percentile_approx(col("w"), lit(0.5), lit(10000)).as("mw"),
+           percentile_approx(col("h"), lit(0.5), lit(10000)).as("mh"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val splits = counts.map { r =>
-      val cnt = r.getLong(1) + r.getLong(2) // > 0: the cell is over threshold
-      val meanW = math.max(r.getDouble(3) / cnt, 1e-12)
-      val meanH = math.max(r.getDouble(4) / cnt, 1e-12)
-      val sCapW = math.max(1, (base.cellW / (2 * meanW)).toInt)
-      val sCapH = math.max(1, (base.cellH / (2 * meanH)).toInt)
+      val (mw, mh) = med.getOrElse(r.getLong(0), (1e-12, 1e-12))
+      val sCapW = math.max(1, (base.cellW / (2 * math.max(mw, 1e-12))).toInt)
+      val sCapH = math.max(1, (base.cellH / (2 * math.max(mh, 1e-12))).toInt)
       val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
       val prod = r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)
       val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1

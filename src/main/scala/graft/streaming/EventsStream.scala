@@ -71,15 +71,20 @@ object EventsStream {
     * `evictAtWatermark` (streaming use): without it, every idle user parks
     * one open-session tuple in state FOREVER — unbounded state growth in a
     * long-running stream. With it, the events get a `watermarkDelay` event-
-    * time watermark and the state machine runs under `EventTimeTimeout`: a
-    * parked session whose close (end + gap) falls behind the watermark can
-    * never be extended by an admissible event (later-than-watermark events
-    * are all beyond the gap), so it is EMITTED and its state removed. Session
-    * output is therefore identical to the batch semantics for events within
-    * the watermark; only sub-watermark late stragglers (which the watermark
-    * contract already excludes) could have reopened an evicted session.
-    * Batch runs keep `NoTimeout` (timeouts never fire in batch anyway, and
-    * batch execution strips the watermark node).
+    * time watermark and the state machine runs under `EventTimeTimeout`,
+    * holding each user's pending sessions ("islands") in state until the
+    * watermark passes a session's close (end + gap): only then can no
+    * admissible event extend OR bridge it, so it is EMITTED and dropped from
+    * state. Because closed-in-batch islands are also held until their close
+    * passes the watermark (not emitted eagerly, as the r5 version did), an
+    * admissible out-of-order event can still merge two islands a purely
+    * forward reading would have split — session output is identical to the
+    * batch semantics for every event the watermark admits, at the standard
+    * cost of emission latency = watermarkDelay + gap. Sub-watermark
+    * stragglers (which the watermark contract already excludes) are the only
+    * divergence. Batch runs keep `NoTimeout` and the eager forward-only
+    * emission (timeouts never fire in batch, and batch execution strips the
+    * watermark node — use `flushOpen` there).
     */
   final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
@@ -99,35 +104,55 @@ object EventsStream {
       .as[(Long, Long, java.sql.Timestamp)]
     val timeoutConf =
       if (evictAtWatermark) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
-    typed.groupByKey(_._1).flatMapGroupsWithState[(Long, Long, Long), Session](
+    val gapS = gapMinutes * 60L
+    // state = the user's pending islands (start, end, n), ascending, pairwise
+    // separated by > gap. Merging new events via interval-fold (instead of
+    // the r5 single-open-session fold) makes admissible OUT-OF-ORDER events
+    // exact: an event between two islands bridges them; an event inside one
+    // extends min(start)/max(end) — the r5 fold regressed `end = t` for
+    // t < end, mis-splitting later batches.
+    def mergeIslands(old: Seq[(Long, Long, Long)],
+                     evs: Array[Long]): Seq[(Long, Long, Long)] = {
+      val ivs = (old ++ evs.map(t => (t, t, 1L))).sortBy(iv => (iv._1, iv._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      ivs.foreach { iv =>
+        if (out.isEmpty || iv._1 - out.last._2 > gapS) out += iv
+        else out(out.length - 1) =
+          (out.last._1, math.max(out.last._2, iv._2), out.last._3 + iv._3)
+      }
+      out.toSeq
+    }
+    typed.groupByKey(_._1).flatMapGroupsWithState[Seq[(Long, Long, Long)], Session](
       OutputMode.Append, timeoutConf) {
       (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-       state: GroupState[(Long, Long, Long)]) =>
-        if (state.hasTimedOut) {
-          // watermark passed the parked session's close — no admissible event
-          // can extend it; emit and evict
-          val (start, end, n) = state.get
-          state.remove()
-          Iterator.single(Session(user, start, end, n))
-        } else {
-          val sorted = rows.map(_._2).toArray.sorted
-          var (start, end, n) = state.getOption.getOrElse((-1L, -1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { t =>
-            if (start < 0) { start = t; end = t; n = 1 }
-            else if (t - end > gapMinutes * 60L) {
-              out += Session(user, start, end, n); start = t; end = t; n = 1
-            } else { end = t; n += 1 }
+       state: GroupState[Seq[(Long, Long, Long)]]) =>
+        // emit every island whose close fell behind the watermark (no
+        // admissible event can extend or bridge it any more); park the rest
+        // with the timeout at the earliest surviving close
+        def evict(islands: Seq[(Long, Long, Long)]): Iterator[Session] = {
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ripe, live) = islands.partition(iv => (iv._2 + gapS) * 1000L < wmMs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(live)
+            state.setTimeoutTimestamp((live.head._2 + gapS) * 1000L + 1000L)
           }
-          if (start >= 0) {
-            if (flushOpen) out += Session(user, start, end, n)
-            else {
-              state.update((start, end, n))
-              if (evictAtWatermark)
-                state.setTimeoutTimestamp((end + gapMinutes * 60L) * 1000L + 1000L)
-            }
+          ripe.iterator.map(iv => Session(user, iv._1, iv._2, iv._3))
+        }
+        if (state.hasTimedOut) evict(state.get)
+        else {
+          val islands = mergeIslands(state.getOption.getOrElse(Nil),
+            rows.map(_._2).toArray.sorted)
+          if (flushOpen) { // batch/final drain: everything out, nothing parked
+            if (state.exists) state.remove()
+            islands.iterator.map(iv => Session(user, iv._1, iv._2, iv._3))
+          } else if (evictAtWatermark) evict(islands)
+          else {
+            // legacy forward-only streaming (no watermark): emit islands
+            // closed by a later in-batch event, park the last one
+            if (islands.nonEmpty) state.update(Seq(islands.last))
+            islands.dropRight(1).iterator.map(iv => Session(user, iv._1, iv._2, iv._3))
           }
-          out.iterator
         }
     }.toDF()
   }

@@ -24,13 +24,34 @@ class DedupRoutingSpec extends AnyFunSuite {
     // — an exchange + full partition sort that dominated the standalone entry
     // point at oracle sizes. The fused form must keep the whole prefix
     // computation window-free at ANY size (it is the scale route's plan too).
+    // NOTE: assert on prefixFrame's OWN plan — jaccardPairsPrefix returns a
+    // localCheckpoint()ed frame whose lineage is truncated to a LogicalRDD,
+    // so a check there would pass vacuously no matter how the prefix ranks
+    import org.apache.spark.sql.functions.{col, size}
     val docs = graft.ingest.Workloads.syntheticDocs(spark, 500, tokensPerDoc = 20)
-    val plan = Dedup.jaccardPairsPrefix(docs, 3, 1, 2)
-      .queryExecution.optimizedPlan
+    val shArr = Dedup.shingleFrame(docs, 3, "doc_id", "text")
+      .filter(size(col("shs")) > 0)
+    val plan = Dedup.prefixFrame(shArr, 1, 2).queryExecution.optimizedPlan
     val hasWindow = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.nonEmpty
     assert(!hasWindow, "prefix pipeline regressed to a window rank")
+    // and the fused form agrees with a literal window-rank reference on the
+    // same shingle frame (content check, not just plan shape)
+    import org.apache.spark.sql.functions._
+    val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val ref = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .join(shArr.select(col("id"), size(col("shs")).cast("long").as("n")), "id")
+      .filter(col("pos") <= col("n") - floor((col("n") * 1 + 2 - 1) / 2).cast("long") + 1)
+      .select(col("id"), col("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.prefixFrame(shArr, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref && got.nonEmpty)
   }
 
   test("verify phase broadcasts the candidate-id set (arrays never shuffle corpus-wide)") {

@@ -450,4 +450,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateRows.contains(2L), s"state rows: $stateRows")
     } finally q.stop()
   }
+
+  test("sessionize(evictAtWatermark): an admissible out-of-order event bridges two islands") {
+    // the r5 fold emitted in-batch-closed islands eagerly and regressed
+    // `end = t` on an out-of-order extend — either defect mis-splits this
+    // scenario. gap=30m, delay=20m: batch 1 has events at min 0 and 40 (two
+    // islands, held because the in-batch watermark is still 0); batch 2's
+    // event at min 22 is admissible (watermark = 40-20 = min 20) and within
+    // the gap of BOTH islands, so batch semantics give ONE session 0..40.
+    import graft.streaming.EventsStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = EventsStream.sessionize(spark, events, gapMinutes = 30,
+      evictAtWatermark = true, watermarkDelay = "20 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_bridge").start()
+    try {
+      val baseMs = 1700000000000L
+      def t(min: Long) = new java.sql.Timestamp(baseMs + min * 60000L)
+      val baseS = baseMs / 1000L
+      def s(min: Long) = baseS + min * 60L
+      mem.addData((1L, t(0)), (1L, t(40)))
+      q.processAllAvailable()
+      assert(spark.sql("select * from sess_bridge").count() == 0,
+        "no island's close is past the watermark yet")
+      mem.addData((1L, t(22))) // out-of-order bridge
+      q.processAllAvailable()
+      // a later event drives the watermark past the merged session's close
+      // (40 + 30 = min 70): 120 - 20 = min 100 > 70 -> timeout-emit
+      mem.addData((1L, t(120)))
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, start_s, end_s, n_events from sess_bridge")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((1L, s(0), s(40), 3L)),
+        s"expected the bridged session (0..40, 3 events), got $got")
+    } finally q.stop()
+  }
 }

@@ -124,7 +124,7 @@ class SkewSpec extends AnyFunSuite {
     // contains a few map-sized objects: those replicate into thousands of
     // cells, and any replica-weighted GLOBAL size statistic would be dragged
     // up to their extent, collapsing the split cap to 1 everywhere. The
-    // per-cell clamp reads only the hot cell's own mean extent.
+    // per-cell clamp reads only the hot cell's own median extent.
     import spark.implicits._
     val hotA = Workloads.hotspotPolygons(spark, 4000, seed = 51, mapEdge = 1000.0,
       hotFrac = 0.6, hotX = 100, hotY = 100, hotW = 1.0, meanEdge = 0.05)
@@ -144,6 +144,34 @@ class SkewSpec extends AnyFunSuite {
     // and the join stays exact with the outliers in play
     val want = pairs(SpatialJoins.broadcastNL(a, b))
     assert(pairs(SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 100000)) == want)
+    assert(want.nonEmpty)
+  }
+
+  test("split clamp is a per-cell MEDIAN: an oversized minority inside the hot cell doesn't veto") {
+    // 70% tiny objects + 30% near-cell-sized ones in the SAME hot cell: the
+    // cell's mean extent is ~0.3 cell widths (cap 1 — split vetoed) while
+    // the median tracks the tiny majority, so the clamp must still allow a
+    // split. The join stays exact either way (splits are performance-only).
+    import spark.implicits._
+    val base = CellScheme(Extent(0, 1001, 0, 1001), 16, 16) // ~62.6-unit cells
+    // hot cell around (100, 100): cell [62.56..125.1)²
+    def mk(id: Long, cx: Double, cy: Double, edge: Double) =
+      Geom(id, cx, math.min(cx + edge, 125.0), cy, math.min(cy + edge, 125.0))
+    def side(idBase: Long, seed: Int) = spark.createDataset((0 until 1000).map { i =>
+      val rnd = new scala.util.Random(seed * 100003 + i)
+      val cx = 63.0 + rnd.nextDouble() * 55.0
+      val cy = 63.0 + rnd.nextDouble() * 55.0
+      if (i % 10 < 7) mk(idBase + i, cx, cy, 0.05)     // 70% tiny
+      else mk(idBase + i, 63.0, 63.0, 55.0)            // 30% ~cell-sized
+    })
+    val a = side(0L, 7)
+    val b = side(1000000L, 8)
+    val planned = AdaptiveCells.plan(a, b, base, budgetPairs = 10000)
+    val hotCell = base.cellOf(100.0, 100.0)
+    assert(planned.splits.getOrElse(hotCell, 1) >= 2,
+      s"median clamp must let the 70%-tiny hot cell split (splits=${planned.splits})")
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(pairs(SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 10000)) == want)
     assert(want.nonEmpty)
   }
 
