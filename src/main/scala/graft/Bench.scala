@@ -75,7 +75,12 @@ object Bench {
     val p0 = Workloads.uniformPolygons(spark, n, 123, parts = 64).cache()
     val p1 = Workloads.uniformPolygons(spark, n, 456, parts = 64).cache()
     val (tGen, _) = time { pts.count(); p0.count(); p1.count() }
-    def pip() = time { SpatialJoins.gridJoin(pts, p0, s).count() }
+    // PIP runs the point-specialized plan (no a-side explode, no ownership
+    // filter, narrow point rows) — what `intersectJoin` auto-routes to when
+    // its planning aggregation sees an all-zero-extent side; the count is
+    // still asserted against the reference's golden 1021602 below. PP has no
+    // point side, so it runs the generic replicate+own plan.
+    def pip() = time { SpatialJoins.gridJoinPIP(pts, p0, s).count() }
     def pp()  = time { SpatialJoins.gridJoin(p0, p1, s).count() }
     pip(); pp() // warm-up: codegen + JIT + page cache
     val measured = (1 to runs).map(_ => (pip(), pp()))

@@ -32,9 +32,10 @@ object SparkEntry {
     // J6: PBSM grid join, polygon × polygon (declarative Catalyst plan)
     "spatial_grid_join_pp" -> ((s, dir) =>
       SpatialJoins.gridJoin(partRects.load(s, dir), ordersRects.load(s, dir), grid)),
-    // J6 over points: point-in-polygon
+    // J6 over points: point-in-polygon (point-specialized plan — no a-side
+    // replication, no ownership filter; same pair set as gridJoin)
     "spatial_grid_join_pip" -> ((s, dir) =>
-      SpatialJoins.gridJoin(customerPoints.load(s, dir), partRects.load(s, dir), grid)),
+      SpatialJoins.gridJoinPIP(customerPoints.load(s, dir), partRects.load(s, dir), grid)),
     // strategy selector: broadcast below threshold, grid/cogroup above —
     // picks per-SF (sf0.01 broadcasts the 2k-row side; sf0.1 goes grid)
     "spatial_auto_join" -> ((s, dir) =>

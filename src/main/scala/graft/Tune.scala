@@ -39,6 +39,17 @@ object Tune {
           println(f"    stage ${si.stageId}%3d ${si.name.take(30)}%-30s tasks=${si.numTasks}%4d wall=$dur%6.2f s")
       }
     })
+    if (args.contains("pip")) {
+      // point-specialized PIP plan vs the generic replicate+own plan
+      val s16 = CellScheme.forSize(ext, n, targetPerCell = 16, maxN = 8192)
+      t("warmup generic")(SpatialJoins.gridJoin(a, b, s16).count())
+      t("warmup pip")(SpatialJoins.gridJoinPIP(a, b, s16).count())
+      for (round <- 1 to 4) {
+        t(s"generic r$round")(SpatialJoins.gridJoin(a, b, s16).count())
+        t(s"pip r$round")(SpatialJoins.gridJoinPIP(a, b, s16).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("adaptplan")) {
       // adaptive insurance-premium decomposition on the even-density
       // OSM-PP-class workload: planning pass alone vs sweep vs adaptive

@@ -127,21 +127,35 @@ object SpatialJoins {
     else {
       val u = a.toDF().withColumn("s", lit(0L))
         .unionByName(b.toDF().withColumn("s", lit(1L)))
+      // the same single planning aggregation also measures each side's max
+      // MBR edge: an all-zero side is a POINT side, which routes to the
+      // cheaper no-replication / no-ownership PIP plan below — detection
+      // costs zero extra jobs
       val r = u.agg(min("xmin"), max("xmax"), min("ymin"), max("ymax"),
-        count(when(col("s") === 0L, lit(1))), count(lit(1))).head()
+        count(when(col("s") === 0L, lit(1))), count(lit(1)),
+        max(when(col("s") === 0L, greatest(col("xmax") - col("xmin"),
+                                           col("ymax") - col("ymin")))),
+        max(when(col("s") === 1L, greatest(col("xmax") - col("xmin"),
+                                           col("ymax") - col("ymin"))))).head()
       // both inputs empty → the min/max agg returns nulls (stats can
       // OVER-estimate filtered scans, so small() above may be false even for
       // an empty input); broadcastNL is trivially correct on empty frames
       if (r.isNullAt(0)) return broadcastNL(a, b)
       val ext = Extent(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
       val ca = r.getLong(4); val cb = r.getLong(5) - ca
+      val aPts = !r.isNullAt(6) && r.getDouble(6) == 0.0
+      val bPts = !r.isNullAt(7) && r.getDouble(7) == 0.0
       val s = CellScheme.forSize(ext, math.max(ca, cb),
         targetPerCell = 16, maxN = 8192)
       // when the grid cap binds (rows ≫ 16·maxN²), cells run dense and the
       // declarative join's per-cell nested loop inside the SMJ group loses to
       // the cogroup path with its sweep/STR-indexed inner loop
       val perCellEst = math.max(ca, cb).toDouble / s.numCells.toDouble
-      if (perCellEst > 256.0) gridJoinSweep(a, b, s) else gridJoin(a, b, s)
+      if (perCellEst > 256.0) gridJoinSweep(a, b, s)
+      else if (aPts) gridJoinPIP(a, b, s)
+      else if (bPts)
+        gridJoinPIP(b, a, s).select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+      else gridJoin(a, b, s)
     }
   }
 
@@ -199,6 +213,34 @@ object SpatialJoins {
     */
   def cellResultStats(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame =
     gridJoinWithCell(a, b, s).groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
+
+  /** Point-in-polygon specialization of [[gridJoin]] (the reference's PIP
+    * workload reads its point side as native points, `cpp/join.hpp` /
+    * `data_gen` point files — this is the Spark-plan analogue). Each a-side
+    * row is treated as the POINT `(xmin, ymin)`; for genuine point rows
+    * (`xmin == xmax ∧ ymin == ymax`, e.g. `Workloads.uniformPoints`) the pair
+    * set is identical to [[gridJoin]]'s. Three structural savings over the
+    * generic plan:
+    *
+    *  - no a-side replication: a point overlaps exactly one cell, so the cell
+    *    id is a plain projection (`cellOfCol`) instead of an
+    *    `explode(sequence)` generator pair;
+    *  - no reference-point ownership filter: a (point, polygon) pair can meet
+    *    only in the point's own cell (cell coords are monotone in the
+    *    coordinate, so a polygon containing the point always covers that
+    *    cell), making the join exactly-once by construction;
+    *  - a narrower shuffle row: `(id, x, y)` instead of the 4-double MBR.
+    */
+  def gridJoinPIP(pts: Dataset[Geom], polys: Dataset[Geom], s: CellScheme): DataFrame = {
+    val a = pts.toDF().select(col("id").as("a_id"),
+      col("xmin").as("a_x"), col("ymin").as("a_y"),
+      cellOfCol(s, col("xmin"), col("ymin")).as("cell"))
+    val bc = withCells(prefixed(polys, "b"), s, "b").withColumnRenamed("cell", "b_cell")
+    a.join(bc, col("cell") === col("b_cell") &&
+        col("a_x") >= col("b_xmin") && col("a_x") <= col("b_xmax") &&
+        col("a_y") >= col("b_ymin") && col("a_y") <= col("b_ymax"))
+      .select(col("a_id"), col("b_id"))
+  }
 
   /** [[gridJoin]] with an explicit join-strategy hint on the b side
     * ("shuffle_hash" avoids the SMJ sorts; "broadcast" removes the shuffle

@@ -147,6 +147,48 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(gridJoin(a, b, s).count() == oracle.size)
   }
 
+  test("gridJoinPIP == gridJoin == broadcastNL on points × polygons (incl. cell-boundary points)") {
+    import TestSpark.spark.implicits._
+    val pts = randomSet(11, 500, 0.0)                       // edge 0 → points
+    val boundary = spark.createDataset(Seq(                 // exactly on 10×10 cell borders
+      Geom.point(9001, 10.0, 10.0), Geom.point(9002, 0.0, 50.0),
+      Geom.point(9003, 100.0, 100.0), Geom.point(9004, 50.0, 0.0)))
+    val a = pts.unionByName(boundary).as[Geom]
+    val b = randomSet(12, 400, 8.0)
+    val oracle = pairs(broadcastNL(a, b))
+    assert(oracle.nonEmpty)
+    for (n <- Seq(1, 4, 10, 23)) {
+      val s = CellScheme(Extent(0, 108, 0, 108), n, n)
+      assert(pairs(gridJoinPIP(a, b, s)) == oracle, s"gridJoinPIP grid=$n")
+    }
+    // documented non-point semantics: an extended a-side row is treated as
+    // its (xmin, ymin) corner point
+    val rects = randomSet(13, 200, 5.0)
+    val corners = rects.map(g => Geom.point(g.id, g.xmin, g.ymin))(
+      org.apache.spark.sql.Encoders.product[Geom])
+    val s = CellScheme(Extent(0, 106, 0, 106), 7, 7)
+    assert(pairs(gridJoinPIP(rects, b, s)) == pairs(gridJoin(corners, b, s)))
+  }
+
+  test("intersectJoin auto-routes a point side to the PIP plan (2 generators, not 4)") {
+    val pts = randomSet(14, 30000, 0.0)
+    val polys = randomSet(15, 30000, 4.0)
+    def generates(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+    val viaA = intersectJoin(pts, polys, broadcastThreshold = 100)
+    assert(generates(viaA) == 2, "point a-side must skip the a-side explode pair")
+    val viaB = intersectJoin(polys, pts, broadcastThreshold = 100)
+    assert(generates(viaB) == 2, "point b-side must route through the swapped PIP plan")
+    val oracle = pairs(broadcastNL(pts, polys))
+    assert(pairs(viaA) == oracle)
+    assert(pairs(viaB) == oracle.map { case (x, y) => (y, x) })
+    // no point side → generic replicate+own plan (both sides exploded)
+    assert(generates(intersectJoin(polys, randomSet(16, 30000, 4.0),
+      broadcastThreshold = 100)) == 4)
+  }
+
   test("distanceJoin matches brute force") {
     import TestSpark.spark.implicits._
     val a = randomSet(5, 300, 2.0)
