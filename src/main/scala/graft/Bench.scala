@@ -158,12 +158,15 @@ object Bench {
     val scheme = CellScheme.forSize(ext, n, targetPerCell = 512, maxN = 1024)
     def sweep() = time { SpatialJoins.gridJoinSweep(a, b, scheme).count() }
     def bsp()   = time { SpatialJoins.binarySplitJoin(a, b, ext, 9).count() }
-    // SAME base grid as the sweep row: with the r5 concentration gate the
-    // even-density case plans zero splits and falls through to the sweep
-    // plan, so the adaptive row isolates exactly the sampled planning pass
-    // (a different base grid would conflate the gate with grid choice). A 2%
-    // planning sample suffices at 10M rows (hot cells hold 10⁴-10⁵ rows —
-    // hundreds of samples each) and shrinks the planning shuffle 5×.
+    // SAME base grid as the sweep row (a different base grid would conflate
+    // the gate with grid choice). The concentration gate limits splits to
+    // the few dominant gaussian-center cells (Tune adaptplan: 43 of ~19.6k
+    // occupied at 10M — each holding > 4·parallelism× the balanced share;
+    // the r6 per-cell median clamp re-enables these, where r5's global
+    // clamp vetoed them), so the row's premium over the sweep is the
+    // sampled planning pass plus a ~neutral split route. A 2% planning
+    // sample suffices at 10M rows (hot cells hold 10⁴-10⁵ rows — hundreds
+    // of samples each) and shrinks the planning shuffle 5×.
     def adaptive() = time {
       SpatialJoins.gridJoinAdaptive(a, b, scheme, budgetPairs = 1L << 22,
         planSampleFraction = 0.02).count()
@@ -699,7 +702,7 @@ object Bench {
          || 1-D stripes (J5, 10,000 stripes, direction '${big.stripeDir}') Uniform PIP | ${f"$tStripes%.3f"} s / ${big.stripesResults} results (reference same-config: 3.646 s) |
          || 1-D stripes at the REFERENCE'S TUNED stripe count (1,000 stripes, same direction) | ${f"$tStripes1k%.3f"} s (min-of-2: ${big.stripes1k.map(t => f"$t%.2f").mkString("/")}) vs the reference's published best-direction 1.773 s |
          || **OUTPUT-HEAVY (OSM-PP-class)**: gaussian ${benchN}×$benchN, ~${resOsm / 1000000}M result pairs | grid+sweep ${f"$tOsmSweep%.2f"} s (min of interleaved samples ${osmSweepSamples.map(t => f"$t%.2f").mkString("/")}) = **${f"${resOsm / tOsmSweep / 1e6}%.1f"} M result rows/s** (reference OSM PP 292.5M pairs at 23.2 M result rows/s, i.e. reference is ${f"${23.2e6 * tOsmSweep / resOsm}%.2f"}× faster — rule: within 2×) |
-         || same workload: BSP / adaptive | ${f"$tOsmBsp%.2f"} s (${f"${resOsm / tOsmBsp / 1e6}%.1f"} M/s) / ${f"$tOsmAdaptive%.2f"} s (the r5 concentration gate routes the even-density case to the sweep plan — adaptive pays only its sampled planning pass) — counts match: $osmCountsMatch |
+         || same workload: BSP / adaptive | ${f"$tOsmBsp%.2f"} s (${f"${resOsm / tOsmBsp / 1e6}%.1f"} M/s) / ${f"$tOsmAdaptive%.2f"} s (the concentration gate confines splits to the dominant gaussian-center cells — adaptive pays its sampled planning pass plus a ~neutral split route) — counts match: $osmCountsMatch |
          || Exact kNN (k=3), ${benchN / 10} queries × $benchN points | ${f"$tKnn%.2f"} s (min-of-2: ${knnSamples.map(t => f"$t%.1f").mkString("/")}), $knnRounds ring-expansion rounds, $knnRows result rows (${f"${knnRows / tKnn / 1000}%.0f"} k rows/s); replicated corpus cached + pre-partitioned per scheme (round ≥ 2 reads it exchange-free) |
          || ANN top-10 over $annN clustered 64-dim embeddings, 2000 queries | LSH ${f"$tAnnLsh%.2f"} s (min-of-2: ${lshSamples.map(t => f"$t%.1f").mkString("/")}) vs brute-force ${f"$tAnnBf%.1f"} s (extrapolated from a 32-query exact run — linear in queries); recall@10 = ${f"$annRecall%.3f"} vs exact |
          || same queries via TRAINED IVF (1024 Lloyd centroids ×2 iters, nProbe=16 → ~1.6% of corpus re-ranked/query) | ${f"$tAnnIvf%.2f"} s (min-of-2: ${ivfSamples.map(t => f"$t%.1f").mkString("/")}), recall@10 = ${f"$annIvfRecall%.3f"}; one-off train+index build ${f"$tAnnIvfTrain%.2f"} s (amortized, like LSH's corpus bucketing) |

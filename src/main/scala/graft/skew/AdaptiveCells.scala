@@ -150,8 +150,22 @@ object AdaptiveCells {
         .select(col("cell"), lit(side).as("side"),
           (col("p_xmax") - col("p_xmin")).as("w"),
           (col("p_ymax") - col("p_ymin")).as("h"))
+    // The tagged (replicated, NARROW — 4 columns) sample is read twice when
+    // splits are planned: once for counts, once for the hot-cell medians. A
+    // Bernoulli sample still SCANS every input row, so before r6 the median
+    // pass re-paid two full input scans — the dominant share of the planning
+    // premium once splits exist. Persisting the sampled tagged frame (~f·n·
+    // replication narrow rows, materialized for free during the counts scan)
+    // makes the median pass a cache read. Never persisted on the unsampled
+    // path, where this frame is the full replicated input.
+    val taggedAll = {
+      val t = tagged(sa, 0).unionByName(tagged(sb, 1))
+      if (sampled) t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else t
+    }
+    try {
     // raw (unscaled) per-cell counts; callers scale at use
-    val counts0 = tagged(sa, 0).unionByName(tagged(sb, 1))
+    val counts0 = taggedAll
       .groupBy("cell")
       .agg(count(when(col("side") === 0, lit(1))).as("cna"),
            count(when(col("side") === 1, lit(1))).as("cnb"))
@@ -213,7 +227,7 @@ object AdaptiveCells {
     // construction) — the zero-splits path never reaches this job.
     // sCap < 2 means the cell is already ~2 median extents: no split at all.
     val hotCells = counts.map(_.getLong(0)).toSeq
-    val med = tagged(sa, 0).unionByName(tagged(sb, 1))
+    val med = taggedAll
       .filter(col("cell").isInCollection(hotCells))
       .groupBy("cell")
       .agg(percentile_approx(col("w"), lit(0.5), lit(10000)).as("mw"),
@@ -229,5 +243,6 @@ object AdaptiveCells {
       r.getLong(0) -> math.min(s, sCap)
     }.filter(_._2 >= 2).toMap
     AdaptiveScheme(base, splits, perCellMean)
+    } finally { if (sampled) taggedAll.unpersist() }
   }
 }
