@@ -130,13 +130,17 @@ object SpatialJoins {
       // the same single planning aggregation also measures each side's max
       // MBR edge: an all-zero side is a POINT side, which routes to the
       // cheaper no-replication / no-ownership PIP plan below — detection
-      // costs zero extra jobs
+      // costs zero extra jobs. abs() so an INVERTED row (xmax < xmin — never
+      // intersects anything under the inclusive predicate) cannot hide
+      // behind a zero other edge and smuggle the side into the PIP plan,
+      // which would treat it as its (xmin, ymin) corner and emit pairs the
+      // generic plan never would.
+      val edge = greatest(abs(col("xmax") - col("xmin")),
+                          abs(col("ymax") - col("ymin")))
       val r = u.agg(min("xmin"), max("xmax"), min("ymin"), max("ymax"),
         count(when(col("s") === 0L, lit(1))), count(lit(1)),
-        max(when(col("s") === 0L, greatest(col("xmax") - col("xmin"),
-                                           col("ymax") - col("ymin")))),
-        max(when(col("s") === 1L, greatest(col("xmax") - col("xmin"),
-                                           col("ymax") - col("ymin"))))).head()
+        max(when(col("s") === 0L, edge)),
+        max(when(col("s") === 1L, edge))).head()
       // both inputs empty → the min/max agg returns nulls (stats can
       // OVER-estimate filtered scans, so small() above may be false even for
       // an empty input); broadcastNL is trivially correct on empty frames

@@ -574,8 +574,9 @@ object Similarity {
           <= lit(hdCut))
       .select("a_id", "b_id")
     // the sig frame is n × ~(8 + 8·bands) B — when a bounded count confirms
-    // it small (≤ 500k rows ≈ 50 MB at 12 bands; the count reads at most
-    // 500k+1 rows however large the corpus), BROADCAST it and filter the raw
+    // it small (≤ ~48 MB of sig rows, ≈ 480k rows at 12 bands; the count
+    // reads at most that many +1 rows however large the corpus), BROADCAST
+    // it and filter the raw
     // collision stream BEFORE the distinct: both attaches and the Hamming
     // kill run map-side inside the band-join stage, so the distinct hashes
     // only the ~0.1% survivors instead of the full collision mass (the
@@ -584,9 +585,13 @@ object Similarity {
     // flips — distinct first (collision mass ≫ n makes the pair-shuffle the
     // lesser evil), then a shuffle attach of compact sigs, still ~40×
     // slimmer than the embedding arrays it replaces.
+    // the broadcast gate bounds BYTES, not rows: a sig row is 8 + 8·bands B
+    // and the recall knob escalates bands up to 8× — a fixed row cap would
+    // let the broadcast grow with it (500k rows at 96 bands ≈ 390 MB)
+    val maxBcRows = math.max(1L, (48L << 20) / (8L + 8L * bands))
     val slimPlan =
       if (hdCut >= m) candRaw.distinct()  // cutoff beyond the signature width
-      else if (embs.limit(500001).count() <= 500000L)
+      else if (embs.limit((maxBcRows + 1).toInt).count() <= maxBcRows)
         hamFilter(candRaw, broadcast(sigs)).distinct()
       else hamFilter(candRaw.distinct(), sigs)
     // materialize the (tiny, O(survivor-pairs)) id set eagerly so the sig

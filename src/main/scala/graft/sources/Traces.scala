@@ -270,11 +270,18 @@ object Traces {
     *   2. has fewer than 5 coordinate pairs (`:93` — the reference's intent
     *      is skip; its code actually falls through with valid=True and a
     *      zero extent, which its callers never emit — we drop outright);
-    *   3. any coordinate token fails float parsing (`:103-107`) — covered
-    *      here by the numeric regex plus the even-count check;
+    *   3. a coordinate pair fails the reference's float() loop (`:103-107`):
+    *      each comma-delimited pair is space-split (empties dropped, `:97-101`)
+    *      and its FIRST TWO tokens must fully float-parse. Exactly like the
+    *      loop, trailing extra tokens are IGNORED (it never touches
+    *      `c_pair[2:]`), a 1-token pair fails (its `c_pair[1]` IndexError),
+    *      and a numeric substring inside a junk token ("1.0x") does NOT
+    *      count — the r5 numeric-substring-count check diverged on all three;
     *   4. has no id / WKT field (malformed tab structure).
-    * Unexpected extra spaces between coordinates are tolerated, as in the
-    * reference's pair-cleaning loop (`:97-101`).
+    * The MBR likewise uses each pair's first two tokens (`:108-111`). The
+    * `POLYGON ((` / `))` wrappers are stripped first, as the reference's
+    * literal `.replace` does (`:61`) — we also tolerate the spaceless
+    * `POLYGON((` our own [[toWkt]] emits.
     */
   def readOsmWkt(spark: SparkSession, path: String): Dataset[Geom] = {
     import spark.implicits._
@@ -282,24 +289,29 @@ object Traces {
     // try_element_at: a tab-less malformed line must drop, not throw (ANSI)
     val poly = try_element_at(parts, lit(2))
     val id = try_element_at(parts, lit(1)).cast("long")
+    // what Python float() accepts (sign, decimal forms, exponent); inf/nan
+    // never occur in OSM dumps and are deliberately out
+    val floatRe = "^[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?$"
+    val segs = split(regexp_replace(regexp_replace(poly,
+      lit("POLYGON\\s*\\(\\("), lit("")), lit("\\)\\)"), lit("")), lit(","))
+    def toks(seg: Column) = filter(split(seg, " "), t => t =!= lit(""))
+    // try_element_at: null (→ row dropped / never selected) instead of an
+    // ANSI index error — And is not contractually short-circuiting in every
+    // plan shape, so a 1-token pair must not be able to throw
+    def pairOk(seg: Column) = {
+      val t = toks(seg)
+      size(t) >= 2 && try_element_at(t, lit(1)).rlike(floatRe) &&
+        try_element_at(t, lit(2)).rlike(floatRe)
+    }
+    val xs = transform(segs, s => try_element_at(toks(s), lit(1)).cast("double"))
+    val ys = transform(segs, s => try_element_at(toks(s), lit(2)).cast("double"))
     spark.read.text(path)
       .filter(!col("value").contains("GEOMETRYCOLLECTION") &&
         col("value").contains("POLYGON") && size(parts) >= 2 && id.isNotNull)
-      .select(id.as("id"), poly.as("poly"),
-        size(regexp_extract_all(poly, lit(numRe), lit(0))).as("ncoord"))
-      .filter(col("ncoord") >= 10) // ≥ 5 (x, y) pairs
-      // rule 3 completeness is PER PAIR, like the reference's float() loop
-      // (`process_OSM.py:103-107`): every comma-delimited coordinate pair of
-      // the WKT field (tags are in field 3 and never reach this split) must
-      // hold exactly two numeric tokens. An aggregate token-count check
-      // (r5's ncoord == 2·pairs) still ingested a line where one pair yields
-      // 1 token and another 3 ("(1.0, 2.0 3.0 4.0, …)") — the counts cancel
-      .filter(forall(split(poly, lit(",")),
-        p => size(regexp_extract_all(p, lit(numRe), lit(0))) === 2))
-      .select(col("id"), parseWktMbr(col("poly")).as("m"))
-      .filter(col("m").isNotNull)
-      .select(col("id"), col("m.xmin").as("xmin"), col("m.xmax").as("xmax"),
-              col("m.ymin").as("ymin"), col("m.ymax").as("ymax"))
+      .filter(size(segs) >= 5 && forall(segs, pairOk))
+      .select(id.as("id"),
+        array_min(xs).as("xmin"), array_max(xs).as("xmax"),
+        array_min(ys).as("ymin"), array_max(ys).as("ymax"))
       .as[Geom]
   }
 

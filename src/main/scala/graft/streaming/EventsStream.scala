@@ -85,6 +85,10 @@ object EventsStream {
     * divergence. Batch runs keep `NoTimeout` and the eager forward-only
     * emission (timeouts never fire in batch, and batch execution strips the
     * watermark node — use `flushOpen` there).
+    *
+    * State-schema note: the island-list state (`Seq[(start, end, n)]`) is not
+    * checkpoint-compatible with the pre-r6 single-tuple state — a stream
+    * upgraded across that change must restart from a fresh checkpoint.
     */
   final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
@@ -131,7 +135,13 @@ object EventsStream {
         // with the timeout at the earliest surviving close
         def evict(islands: Seq[(Long, Long, Long)]): Iterator[Session] = {
           val wmMs = state.getCurrentWatermarkMs()
-          val (ripe, live) = islands.partition(iv => (iv._2 + gapS) * 1000L < wmMs)
+          // ripe = no admissible (>= watermark) event can still extend the
+          // island. Event times truncate ms → s, so the LAST extending ms
+          // timestamp is (end + gap)*1000 + 999; evict only once the
+          // watermark has passed the whole second, not its first ms —
+          // (end+gap)*1000 < wm admits ts=(end+gap)*1000+500 (>= wm) whose
+          // ts_s still merges in batch semantics, splitting the session.
+          val (ripe, live) = islands.partition(iv => (iv._2 + gapS + 1) * 1000L <= wmMs)
           if (live.isEmpty) state.remove()
           else {
             state.update(live)

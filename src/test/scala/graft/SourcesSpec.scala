@@ -81,20 +81,31 @@ class SourcesSpec extends AnyFunSuite {
       //    with an MBR from the surviving tokens; the per-pair count
       //    (ncoord == 2·pairs) must drop it like the reference's float() loop
       "5792\tPOLYGON ((1.0 1.0, xx yy, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
-      // 9. trailing-garbage token inside a pair splits into 3 numerics -> skip
+      // 9. second token is not a float ("1.5.2" fails float()) -> skip
       "5793\tPOLYGON ((1.0 1.5.2, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
-      // 10. COMPENSATING malformed pairs (one pair with 1 token, another with
-      //     3) keep the aggregate token count at 2·pairs — only the per-pair
-      //     two-numeric-token rule (the reference's per-pair float() loop)
-      //     catches it
-      "5794\tPOLYGON ((1.0, 2.0 3.0 4.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]")
+      // 10. a 1-token pair -> skip (the reference's c_pair[1] IndexError),
+      //     even when a later 3-token pair keeps aggregate counts balanced
+      "5794\tPOLYGON ((1.0, 2.0 3.0 4.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
+      // 11. EXTRA trailing tokens are IGNORED, like the reference loop that
+      //     never reads c_pair[2:] — valid, MBR from each pair's first two
+      //     (the 9.9/7.7 must not leak into the extent)
+      "5795\tPOLYGON ((1.0 1.0 9.9, 1.0 2.0, 2.0 2.0 7.7 xx, 2.0 1.0, 1.0 1.0))\t[]",
+      // 12. a numeric SUBSTRING inside a junk token does not count:
+      //     float("1.0x") fails in the reference -> skip (the r5
+      //     numeric-substring count saw two numbers here and ingested)
+      "5796\tPOLYGON ((1.0x 2.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]",
+      // 13. junk FIRST token with two numerics after it -> skip (float("xx"))
+      "5797\tPOLYGON ((xx 1.0 2.0, 1.0 2.0, 2.0 2.0, 2.0 1.0, 1.0 1.0))\t[]")
     java.nio.file.Files.writeString(dir.resolve("osm.txt"), lines.mkString("\n") + "\n")
     val read = Traces.readOsmWkt(spark, dir.toString).collect().sortBy(_.id)
-    assert(read.map(_.id).toSeq == Seq(5786L, 5791L))
+    assert(read.map(_.id).toSeq == Seq(5786L, 5791L, 5795L))
     val g = read.find(_.id == 5786L).get
     assert(g.xmin == 13.71 && g.xmax == 13.74 && g.ymin == 51.02 && g.ymax == 51.05)
     val h = read.find(_.id == 5791L).get
     assert(h.xmin == 1.0 && h.xmax == 3.0 && h.ymin == 1.0 && h.ymax == 4.0)
+    val e = read.find(_.id == 5795L).get
+    assert(e.xmin == 1.0 && e.xmax == 2.0 && e.ymin == 1.0 && e.ymax == 2.0,
+      "extra pair tokens must not leak into the MBR")
   }
 
   test("partition-meta pages: 12-B stride, 5/page, zero pad, numMeta bound (partition_meta_t)") {
