@@ -683,7 +683,9 @@ object Bench {
       s"""# BENCH — measured on this machine (local mode)
          |
          |Headline: Uniform PIP ${benchN}×$benchN (reference workload shape,
-         |seeds 789/123), grid PBSM join, join phase only (inputs cached),
+         |seeds 789/123), point-specialized grid PBSM join (gridJoinPIP — the
+         |plan intersectJoin auto-routes to on a point side), join phase only
+         |(inputs cached),
          |best of 5 runs interleaved with the PP workload after a warm-up run
          |(identical runs vary 2-5× with neighbour load on this shared
          |sandbox; min reflects the engine — all samples are in the JSON).
