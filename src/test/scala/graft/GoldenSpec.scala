@@ -25,11 +25,12 @@ class GoldenSpec extends AnyFunSuite {
     assert(SpatialJoins.gridJoin(a, b, s).count() == 378L)
   }
 
-  test("golden: Uniform PIP 100K x 100K = 97") {
+  test("golden: Uniform PIP 100K x 100K = 97 (generic AND point-specialized plan)") {
     val p = Workloads.uniformPoints(spark, 100000, 789)
     val b = Workloads.uniformPolygons(spark, 100000, 123)
     val s = CellScheme(ext, 128, 128)
     assert(SpatialJoins.gridJoin(p, b, s).count() == 97L)
+    assert(SpatialJoins.gridJoinPIP(p, b, s).count() == 97L)
   }
 
   test("golden: asymmetric Uniform PIP 100K x 1M = 1,059") {
@@ -52,6 +53,7 @@ class GoldenSpec extends AnyFunSuite {
     val b1m = Workloads.uniformPolygons(spark, 1000000, 456).cache()
     assert(SpatialJoins.gridJoin(a100k, b1m, s).count() == 4069L)   // PP 100K×1M
     assert(SpatialJoins.gridJoin(p1m, a100k, s).count() == 1007L)   // PIP 1M×100K
+    assert(SpatialJoins.gridJoinPIP(p1m, a100k, s).count() == 1007L) // same, PIP plan
     assert(SpatialJoins.gridJoin(a1m, b100k, s).count() == 4071L)   // PP 1M×100K
     assert(SpatialJoins.gridJoin(p1m, a1m, s).count() == 10132L)    // PIP 1M×1M
     assert(SpatialJoins.gridJoin(a1m, b1m, s).count() == 40428L)    // PP 1M×1M
