@@ -68,6 +68,26 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     (Project(child.output :+ cell, genX), cell.toAttribute)
   }
 
+  /** Point-side cell assignment: a single projection, no generators (the
+    * plan-time analogue of `SpatialJoins.gridJoinPIP` — a point overlaps
+    * exactly one cell).
+    */
+  private def withCellPoint(s: CellScheme, child: LogicalPlan,
+                            x: Expression, y: Expression): (LogicalPlan, Attribute) = {
+    val cell = Alias(cellOf(s, x, y), "__graft_cell")()
+    (Project(child.output :+ cell, child), cell.toAttribute)
+  }
+
+  /** Structural point detection — ZERO data passes: the side is a point set
+    * when the query passes the SAME expression for its min and max on both
+    * axes (`st_intersects(p.x, p.x, p.y, p.y, …)`, the natural call shape
+    * for a raw (x, y) point table). Distinct min/max columns that happen to
+    * hold equal values are NOT detected (value equality is a data property;
+    * `intersectJoin`'s aggregation-based detection covers that path).
+    */
+  private def isPointSide(c: Seq[Expression]): Boolean =
+    c(0).semanticEquals(c(1)) && c(2).semanticEquals(c(3))
+
   /** Matched spatial predicate, normalized: 8 coordinate args (predicate-a
     * first), the candidate-phase expansion radius (st_dwithin), and the
     * refinement to re-apply after the candidate join (None for intersects —
@@ -141,13 +161,26 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             val Seq(ax0, ax1, ay0, ay1) = la
             val Seq(bx0, bx1, by0, by1) = ra
             val s = scheme
-            val (lp, lcell) = withCells(s, left, ax0, ax1, ay0, ay1)
-            val (rp, rcell) = withCells(s, right, bx0, bx1, by0, by1)
+            // a structural point side needs no replication (one cell) and —
+            // because a pair can then only meet in the point's own cell —
+            // no reference-point ownership dedup either. st_dwithin's
+            // expanded side is Subtract/Add expressions, so it can never
+            // false-positive here; its UNexpanded opposite side still can.
+            val lPt = isPointSide(la)
+            val rPt = isPointSide(ra)
+            val (lp, lcell) =
+              if (lPt) withCellPoint(s, left, ax0, ay0)
+              else withCells(s, left, ax0, ax1, ay0, ay1)
+            val (rp, rcell) =
+              if (rPt) withCellPoint(s, right, bx0, by0)
+              else withCells(s, right, bx0, bx1, by0, by1)
             val intersect = And(And(LessThanOrEqual(ax0, bx1), GreaterThanOrEqual(ax1, bx0)),
                                 And(LessThanOrEqual(ay0, by1), GreaterThanOrEqual(ay1, by0)))
-            val owns = EqualTo(
-              cellOf(s, Greatest(Seq(ax0, bx0)), Greatest(Seq(ay0, by0))), lcell)
-            val newCond = (Seq(EqualTo(lcell, rcell), intersect, owns) ++
+            val owns =
+              if (lPt || rPt) Nil
+              else Seq(EqualTo(
+                cellOf(s, Greatest(Seq(ax0, bx0)), Greatest(Seq(ay0, by0))), lcell))
+            val newCond = (Seq(EqualTo(lcell, rcell), intersect) ++ owns ++
               refinement(st, pa, pb, r) ++ rest).reduce(And)
             Project(j.output, Join(lp, rp, Inner, Some(newCond), hint))
           }

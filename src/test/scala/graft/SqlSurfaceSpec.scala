@@ -61,6 +61,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(run("st_within").nonEmpty && run("st_contains").nonEmpty)
   }
 
+  test("structural point side: PIP rewrite (no point-side generator, no ownership), oracle-equal") {
+    GraftSql.install(spark)
+    spark.conf.set(SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+    spark.conf.set(SpatialJoinRule.GridKey, "32")
+    val dir = "/root/testdata/sf0.001"
+    val p = graft.api.Derived.customerPoints.load(spark, dir)
+    val b = graft.api.Derived.partRects.load(spark, dir)
+    // a raw (x, y) point table — the min/max coordinate args are the SAME
+    // column, which the rule detects structurally (zero data passes)
+    p.toDF().selectExpr("id", "xmin AS x", "ymin AS y").createOrReplaceTempView("sqlp_p")
+    b.createOrReplaceTempView("sqlp_b")
+    val df = spark.sql(
+      """SELECT p.id AS a_id, b.id AS b_id FROM sqlp_p p JOIN sqlp_b b
+        | ON st_intersects(p.x, p.x, p.y, p.y,
+        |                  b.xmin, b.xmax, b.ymin, b.ymax)""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan
+    val gens = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+    assert(gens == 2, s"point side must not be exploded (got $gens generators)")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.join.SpatialJoins.broadcastNL(p, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // distinct min/max COLUMNS (equal values) are NOT structurally points —
+    // the conservative path keeps the generic replicate+own plan
+    p.toDF().createOrReplaceTempView("sqlp_p4")
+    val generic = spark.sql(
+      """SELECT p.id FROM sqlp_p4 p JOIN sqlp_b b
+        | ON st_intersects(p.xmin, p.xmax, p.ymin, p.ymax,
+        |                  b.xmin, b.xmax, b.ymin, b.ymax)""".stripMargin)
+    val gGens = generic.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.size
+    assert(gGens == 4, "distinct columns must stay on the generic plan")
+    assert(generic.count() == want.size)
+  }
+
   test("st_intersects evaluates standalone (marker expression fallback)") {
     GraftSql.install(spark)
     val r = spark.sql(
