@@ -127,6 +127,9 @@ object SparkEntry {
     // AllPairs/PPJoin prefix-filtered variant — identical output, candidate
     // set cut to rare-prefix collisions (the web-scale Jaccard plan)
     "dedup_jaccard_prefix" -> ((s, dir) => Dedup.jaccardPairsPrefix(docs(s, dir), 3, 1, 2)),
+    // substring-level dedup: pairs sharing an exact 8-token span (counted),
+    // hash-bucketed candidates + exact string-array verify
+    "dedup_spans" -> ((s, dir) => Dedup.duplicateSpanPairs(docs(s, dir), 8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashDedupPairs(docs(s, dir), 3, 64, 16, 1, 2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(withNearDups(docs(s, dir)), maxHam = 3, oracleHash = true)),
@@ -559,6 +562,7 @@ object SparkEntry {
     "dedup_exact"   -> Dedup.exactDedupSql,
     "dedup_jaccard" -> Dedup.jaccardPairsSql(3, 1, 2),
     "dedup_jaccard_prefix" -> Dedup.jaccardPairsSql(3, 1, 2),
+    "dedup_spans" -> Dedup.duplicateSpansSql(8),
     "dedup_minhash" -> Dedup.minhashDedupSql(3, 64, 16, 1, 2),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(3, withNearDupsSql),
     "dedup_survivors" -> Dedup.connectedComponentsSql(Dedup.jaccardPairsSql(3, 1, 2)),

@@ -314,6 +314,95 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  // ---- exact duplicate SPANS (substring-level dedup) -------------------------
+
+  /** Exact duplicate-SPAN pairs: document pairs sharing at least one exact
+    * `l`-token contiguous span, with the count of distinct shared spans —
+    * substring-level dedup (the training-data dedup of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * boilerplate and quoted passages repeat across documents that doc-level
+    * exact dedup and whole-doc near-dup (Jaccard/MinHash/SimHash) all miss.
+    *
+    * Plan — the repo's standard candidates-then-exact-verify shape:
+    *  1. candidates: distinct `l`-gram HASHES per doc ([[shingleFrame]]'s
+    *     single-pass native expression), exploded and self-equi-joined on
+    *     the 8-byte hash — text never enters the shuffle;
+    *  2. exact verify: candidate docs' distinct `l`-gram STRING arrays are
+    *     attached (semi-join-reduced via a broadcast id set, exactly like
+    *     [[verifyJaccard]]) and `n_spans = |grams(a) ∩ grams(b)|` computed
+    *     exactly. A hash collision can only create a candidate that verifies
+    *     to 0 shared spans and is filtered — the output is hash-free exact.
+    *
+    * At 100 TB the candidate volume is Σ_gram df(gram)² — BOILERPLATE grams
+    * (site chrome, license headers) go quadratic. `maxDf > 0` drops grams
+    * seen in more than `maxDf` docs from the CANDIDATE phase only (such
+    * spans are boilerplate by construction; genuinely duplicated passages
+    * still surface through their rarer spans). The verify still counts every
+    * shared span exactly, so `n_spans` is unaffected for emitted pairs —
+    * only pairs whose EVERY shared span is over-frequent are missed, and
+    * that trade is logged by the caller, never silent. `maxDf = 0` (the
+    * oracle setting) keeps everything.
+    */
+  def duplicateSpanPairs(docs: DataFrame, l: Int = 8, maxDf: Long = 0L,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val exploded = shingleFrame(docs, l, idCol, textCol)
+      .select(col("id"), explode(col("shs")).as("gh"))
+    val grams0 =
+      if (maxDf <= 0L) exploded
+      else exploded.join(
+        exploded.groupBy("gh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("gh"), "gh")
+    val cand = grams0.select(col("id").as("a_id"), col("gh"))
+      .join(grams0.select(col("id").as("b_id"), col("gh").as("gh_b")),
+        col("gh") === col("gh_b") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // broadcast the candidate-id set only when bounded (the verifyJaccard
+    // gate); the count also materializes the persisted pair set so the two
+    // verify attaches below reuse it instead of recomputing the gram join
+    val broadcastIds = cand.count() <= 10000000L
+    // distinct l-gram STRINGS per doc; `t` is a bound attribute (Catalyst
+    // does no CSE inside lambdas — an inline split() would re-run per
+    // element, the round-1 shingle blowup)
+    val withToks = docs.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    val t = col("t")
+    val gramsArr = withToks.select(col("id"),
+      array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(t) - l, lit(0))),
+          i => when(size(t) >= l, concat_ws(" ", slice(t, i + 1, lit(l))))),
+        _.isNotNull)).as("g"))
+    val candIds0 = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    val gCand = gramsArr.join(
+      if (broadcastIds) broadcast(candIds0) else candIds0, "id")
+    finishPairs(
+      cand.join(gCand.toDF("a_id", "a_g"), "a_id")
+        .join(gCand.toDF("b_id", "b_g"), "b_id")
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_g"), col("b_g"))).cast("long").as("n_spans"))
+        .filter(col("n_spans") >= 1L),
+      cand)
+  }
+
+  /** DuckDB oracle for [[duplicateSpanPairs]] with `maxDf = 0`: distinct
+    * `l`-gram strings per doc, self-join on the gram, count per pair.
+    * (Token-bound note: mirrors [[shinglesHash60Sql]]'s position cap — here
+    * `range` is lateral over `len(tk)`, so no cap is needed.)
+    */
+  def duplicateSpansSql(l: Int, from: String = "documents"): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM $from
+       |), g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+${l - 1}], ' ') AS gram
+       |  FROM t, UNNEST(range(1, len(tk) - $l + 2)) AS u(i)
+       |  WHERE len(tk) >= $l
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_spans
+       |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   // ---- MinHash LSH -----------------------------------------------------------
 
   /** Mersenne prime 2^31-1: `a*(h mod p)+b` stays within int64 in BOTH

@@ -75,6 +75,44 @@ class DedupRoutingSpec extends AnyFunSuite {
     assert(got == full && got.nonEmpty)
   }
 
+  test("duplicateSpanPairs == brute force (incl. <l-token docs); maxDf drops only boilerplate-only pairs") {
+    import spark.implicits._
+    val l = 4
+    val boiler = "all rights reserved worldwide"     // exactly l tokens, in many docs
+    val quote = "the quick brown fox jumps the lazy dog"
+    val docsSeq = Seq(
+      (0L, s"alpha beta $quote gamma delta"),
+      (1L, s"unrelated prefix $quote and a suffix here"),        // shares quote spans with 0
+      (2L, s"$boiler opening words only"),
+      (3L, s"closing words too $boiler"),                         // shares ONLY boilerplate with 2
+      (4L, s"start $boiler middle $quote end words"),             // shares boiler AND quote spans
+      (5L, "too short"),                                          // < l tokens
+      (6L, "completely distinct content with no shared span at all"))
+    val docs = docsSeq.toDF("doc_id", "text")
+    def grams(s: String): Set[String] = {
+      val t = s.trim.split("\\s+")
+      if (t.length < l) Set.empty else t.sliding(l).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (ai, at) <- docsSeq; (bi, bt) <- docsSeq if ai < bi
+      n = (grams(at) intersect grams(bt)).size if n >= 1
+    } yield (ai, bi, n.toLong)).toSet
+    val got = Dedup.duplicateSpanPairs(docs, l).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.exists(_._3 > 1))
+    // boilerplate cap: every gram of `boiler`-only overlap occurs in docs
+    // 2, 3, 4 (df = 3) -> maxDf = 2 drops the (2,3) and (2,4)/(3,4)
+    // boilerplate-only CANDIDATES; pairs that also share a rarer span keep
+    // their FULL exact n_spans (the verify counts boilerplate too)
+    val capped = Dedup.duplicateSpanPairs(docs, l, maxDf = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val boilerOnly = want.filter { case (a, b, _) =>
+      (grams(docsSeq(a.toInt)._2) intersect grams(docsSeq(b.toInt)._2))
+        .forall(g => docsSeq.count(d => grams(d._2).contains(g)) > 2)
+    }
+    assert(capped == want -- boilerOnly && boilerOnly.nonEmpty)
+  }
+
   test("nearDupPairsAuto: exact and LSH routes agree on a planted corpus") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
