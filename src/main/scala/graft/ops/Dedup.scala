@@ -375,15 +375,19 @@ object Dedup {
         _.isNotNull)).as("g"))
     val candIds0 = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    // persisted: both attach branches consume it, and without the cache each
+    // branch would re-run the gram-string transform over the WHOLE corpus
+    // (the semi-join filter sits above the transform in the plan)
     val gCand = gramsArr.join(
       if (broadcastIds) broadcast(candIds0) else candIds0, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     finishPairs(
       cand.join(gCand.toDF("a_id", "a_g"), "a_id")
         .join(gCand.toDF("b_id", "b_g"), "b_id")
         .select(col("a_id"), col("b_id"),
           size(array_intersect(col("a_g"), col("b_g"))).cast("long").as("n_spans"))
         .filter(col("n_spans") >= 1L),
-      cand)
+      cand, gCand)
   }
 
   /** DuckDB oracle for [[duplicateSpanPairs]] with `maxDf = 0`: distinct
