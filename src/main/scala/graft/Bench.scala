@@ -526,7 +526,7 @@ object Bench {
     // ---- phase 2: headline throughput at full cores ------------------------
     // interleaved min-of-5: the driver runs this bench exactly once, so the
     // statistic itself must absorb the sandbox's 2-5× neighbour-load noise
-    val big = headline(spark, benchN, runs = 5, stripeRuns = 3)
+    val big = headline(spark, benchN, runs = 5, stripeRuns = 4)
     val (tGenBig, pipBig, resBig, ppBig, resPP) =
       (big.genSec, big.pip, big.pipResults, big.pp, big.ppResults)
     val (tGenOsm, osmSweepSamples, tOsmBsp, tOsmAdaptive, resOsm, osmCountsMatch) =

@@ -138,6 +138,12 @@ object SparkEntry {
       val d = docs(s, dir)
       Dedup.connectedComponents(d, Dedup.jaccardPairsAuto(d, 3, 1, 2))
     }),
+    // transitive span-sharing groups: the same min-id CC over the
+    // substring-dedup pairs (composition — pairs frames are interchangeable)
+    "dedup_span_groups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d, Dedup.duplicateSpanPairs(d, 8))
+    }),
     "embed_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, 5)
@@ -566,6 +572,8 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashDedupSql(3, 64, 16, 1, 2),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(3, withNearDupsSql),
     "dedup_survivors" -> Dedup.connectedComponentsSql(Dedup.jaccardPairsSql(3, 1, 2)),
+    // DuckDB nests the spans WITH inside the recursive CTE's pr(...) body
+    "dedup_span_groups" -> Dedup.connectedComponentsSql(Dedup.duplicateSpansSql(8)),
     "embed_topk"    -> Similarity.bruteForceTopKSql(20, 5, 64),
     "embed_lsh_topk" -> Similarity.lshTopKSql(20, 5, 64),
     "embed_ivf_topk" -> Similarity.ivfTopKSql(20, 5, 64),
