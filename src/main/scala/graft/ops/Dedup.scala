@@ -346,8 +346,12 @@ object Dedup {
   def duplicateSpanPairs(docs: DataFrame, l: Int = 8, maxDf: Long = 0L,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    // persisted: the self-join's two branches (and the maxDf df-aggregation)
+    // each carry the full tokenize+shingle+hash lineage — uncached they would
+    // re-run it per consumer
     val exploded = shingleFrame(docs, l, idCol, textCol)
       .select(col("id"), explode(col("shs")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams0 =
       if (maxDf <= 0L) exploded
       else exploded.join(
@@ -362,24 +366,22 @@ object Dedup {
     // gate); the count also materializes the persisted pair set so the two
     // verify attaches below reuse it instead of recomputing the gram join
     val broadcastIds = cand.count() <= 10000000L
-    // distinct l-gram STRINGS per doc; `t` is a bound attribute (Catalyst
-    // does no CSE inside lambdas — an inline split() would re-run per
-    // element, the round-1 shingle blowup)
-    val withToks = docs.select(col(idCol).as("id"),
-      split(trim(col(textCol)), "\\s+").as("t"))
-    val t = col("t")
-    val gramsArr = withToks.select(col("id"),
-      array_distinct(filter(
-        transform(sequence(lit(0), greatest(size(t) - l, lit(0))),
-          i => when(size(t) >= l, concat_ws(" ", slice(t, i + 1, lit(l))))),
-        _.isNotNull)).as("g"))
     val candIds0 = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    // persisted: both attach branches consume it, and without the cache each
-    // branch would re-run the gram-string transform over the WHOLE corpus
-    // (the semi-join filter sits above the transform in the plan)
-    val gCand = gramsArr.join(
-      if (broadcastIds) broadcast(candIds0) else candIds0, "id")
+    // semi-join-reduce to candidate docs FIRST, then build the l-times-text-
+    // size gram STRINGS only for them (corpus-wide the string pass would be
+    // ~l× the corpus bytes for rows the join immediately drops). Tokenizer =
+    // exactly RE2's \s = [\t\n\f\r ] — Java's \s also eats \x0B, which the
+    // native candidate pass and the DuckDB oracle (RE2 '\s+') both don't
+    // (see ShingleHashes.Ws); `t` is a bound attribute (no CSE in lambdas).
+    // Grams via shinglesOfTokens with an identity "hash" — ONE window
+    // implementation shared with the candidate phase.
+    val candToks = docs.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "[ \\t\\n\\f\\r]+").as("t"))
+      .join(if (broadcastIds) broadcast(candIds0) else candIds0, "id")
+    // persisted: both attach branches consume it
+    val gCand = candToks
+      .select(col("id"), shinglesOfTokens(col("t"), l, identity).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     finishPairs(
       cand.join(gCand.toDF("a_id", "a_g"), "a_id")
@@ -387,7 +389,7 @@ object Dedup {
         .select(col("a_id"), col("b_id"),
           size(array_intersect(col("a_g"), col("b_g"))).cast("long").as("n_spans"))
         .filter(col("n_spans") >= 1L),
-      cand, gCand)
+      cand, gCand, exploded)
   }
 
   /** DuckDB oracle for [[duplicateSpanPairs]] with `maxDf = 0`: distinct

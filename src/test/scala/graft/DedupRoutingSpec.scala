@@ -87,10 +87,15 @@ class DedupRoutingSpec extends AnyFunSuite {
       (3L, s"closing words too $boiler"),                         // shares ONLY boilerplate with 2
       (4L, s"start $boiler middle $quote end words"),             // shares boiler AND quote spans
       (5L, "too short"),                                          // < l tokens
-      (6L, "completely distinct content with no shared span at all"))
+      (6L, "completely distinct content with no shared span at all"),
+      // a vertical tab INSIDE a token: RE2's \s (the tokenizer of the native
+      // candidate pass, the verify, and the DuckDB oracle) does NOT split on
+      // \x0B — Java's \s would, yielding different span counts
+      (7L, "A B fusedtoken C D E F tail1"),
+      (8L, "head A B fusedtoken C D E F"))
     val docs = docsSeq.toDF("doc_id", "text")
     def grams(s: String): Set[String] = {
-      val t = s.trim.split("\\s+")
+      val t = s.trim.split("[ \t\n\f\r]+") // RE2 \s, NOT Java \s
       if (t.length < l) Set.empty else t.sliding(l).map(_.mkString(" ")).toSet
     }
     val want = (for {
