@@ -451,6 +451,21 @@ object SparkEntry {
               | ON st_intersects(a.xmin, a.xmax, a.ymin, a.ymax,
               |                  b.xmin, b.xmax, b.ymin, b.ymax)""".stripMargin)
     }),
+    // SQL surface over a raw (x, y) POINT table: the rule detects the
+    // repeated min/max expression structurally and plans PIP-style (no
+    // point-side generators, no ownership conjunct)
+    "spatial_sql_pip_join" -> ((s, dir) => {
+      graft.plans.GraftSql.install(s)
+      s.conf.set(graft.plans.SpatialJoinRule.ExtentKey, "0,1000,0,1000")
+      s.conf.set(graft.plans.SpatialJoinRule.GridKey, "64")
+      customerPoints.load(s, dir).toDF()
+        .selectExpr("id", "xmin AS x", "ymin AS y")
+        .createOrReplaceTempView("graft_p")
+      partRects.load(s, dir).createOrReplaceTempView("graft_r")
+      s.sql("""SELECT p.id AS a_id, r.id AS b_id FROM graft_p p JOIN graft_r r
+              | ON st_intersects(p.x, p.x, p.y, p.y,
+              |                  r.xmin, r.xmax, r.ymin, r.ymax)""".stripMargin)
+    }),
   )
 
   /** Where the golden workload is dumped so DuckDB can re-prove the count.
@@ -613,6 +628,7 @@ object SparkEntry {
     "events_sliding_agg" -> graft.streaming.EventsStream.slidingCountsSql,
     "events_sessions" -> graft.streaming.EventsStream.sessionsSql(30),
     "spatial_sql_join"  -> joinOracle(partRects, ordersRects),
+    "spatial_sql_pip_join" -> joinOracle(customerPoints, partRects),
     "spatial_sql_within_join" ->
       (s"SELECT a.id AS a_id, b.id AS b_id FROM (${partRects.sqlSelect}) a " +
         s"JOIN (${ordersRects.sqlSelect}) b ON ${SpatialJoins.withinSql}"),
