@@ -221,8 +221,12 @@ object Tune {
       // plan the product runs
       val prefix = graft.ops.Dedup.prefixFrame(shArr, 1, 2)
       t("prefix phase")(prefix.count())
-      val cand = prefix.toDF("a_id", "sh")
-        .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
+      val cand = prefix.toDF("a_id", "a_n", "a_pos", "sh")
+        .join(prefix.toDF("b_id", "b_n", "b_pos", "sh_b"),
+          col("sh") === col("sh_b") && col("a_id") < col("b_id") &&
+            col("a_n") * 1 <= col("b_n") * 2 && col("b_n") * 1 <= col("a_n") * 2 &&
+            least(col("a_n") - col("a_pos"), col("b_n") - col("b_pos")) * 3 >=
+              col("a_n") + col("b_n"))
         .select(col("a_id"), col("b_id")).distinct().cache()
       t("cand phase (cached)")(cand.count())
       t("verify phase")(graft.ops.Dedup.verifyJaccard(cand, shArr, 1, 2, broadcastIds = true).count())
@@ -234,6 +238,21 @@ object Tune {
       t("stripes sweep warm")(SpatialJoins.gridJoinSweep(a, b, scheme).count())
       t("stripes sweep")(SpatialJoins.gridJoinSweep(a, b, scheme).count())
       t("stripes sweep x")(SpatialJoins.gridJoinSweep(a, b, CellScheme.stripesX(ext, 10000)).count())
+      spark.stop(); return
+    }
+    if (args.contains("stripes1k")) {
+      // the reference's TUNED stripe count for Uniform PIP (1,000 stripes,
+      // published best-direction 1.773 s) — the one headline row outside the
+      // 2× rule in r6. Interleaved with the 10k-stripe config; min-of-2.
+      println(s"gen: ${a.count()} x ${b.count()}")
+      val s1k = CellScheme.stripesY(ext, 1000)
+      val s10k = CellScheme.stripesY(ext, 10000)
+      t("stripes1k warm")(SpatialJoins.gridJoinSweep(a, b, s1k).count())
+      t("stripes10k warm")(SpatialJoins.gridJoinSweep(a, b, s10k).count())
+      for (i <- 1 to 2) {
+        t(s"stripes1k $i")(SpatialJoins.gridJoinSweep(a, b, s1k).count())
+        t(s"stripes10k $i")(SpatialJoins.gridJoinSweep(a, b, s10k).count())
+      }
       spark.stop(); return
     }
     if (args.contains("knn")) {

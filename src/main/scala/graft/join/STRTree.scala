@@ -76,12 +76,22 @@ object STRTree {
     val nLeaves = (n + leafSize - 1) / leafSize
     val slices = math.ceil(math.sqrt(nLeaves.toDouble)).toInt
     val sliceLen = slices * leafSize
-    java.util.Arrays.sort(items, Ordering.by((g: CellGeom) => g.xmin + g.xmax))
+    // primitive comparators (Ordering.by boxes a Double per comparison —
+    // these sorts run once per dense cell on the hot path)
+    val byXc = new java.util.Comparator[CellGeom] {
+      def compare(a: CellGeom, b: CellGeom): Int =
+        java.lang.Double.compare(a.xmin + a.xmax, b.xmin + b.xmax)
+    }
+    val byYc = new java.util.Comparator[CellGeom] {
+      def compare(a: CellGeom, b: CellGeom): Int =
+        java.lang.Double.compare(a.ymin + a.ymax, b.ymin + b.ymax)
+    }
+    java.util.Arrays.sort(items, byXc)
     var s = 0
     while (s * sliceLen < n) {
       val from = s * sliceLen
       val until = math.min(from + sliceLen, n)
-      java.util.Arrays.sort(items, from, until, Ordering.by((g: CellGeom) => g.ymin + g.ymax))
+      java.util.Arrays.sort(items, from, until, byYc)
       s += 1
     }
     // ---- bottom-up node packing ---------------------------------------------

@@ -13,6 +13,16 @@ final case class Pair(a_id: Long, b_id: Long)
 private[graft] final case class CellGeom(cell: Long, id: Long, xmin: Double,
                                          xmax: Double, ymin: Double, ymax: Double)
 
+/** Reduce-side row of the repartition+sort join — all-primitive fields so the
+  * codegen'd Dataset deserializer constructs it with ONE allocation per row
+  * (the r6 DataFrame `mapPartitions` decoded to `GenericRowWithSchema`: an
+  * Object[7] plus a boxed object per field per row — ~9 allocations and
+  * virtual getters on the hottest path of every sweep/adaptive join).
+  */
+private[graft] final case class KeyedGeom(key: Long, side: Int, id: Long,
+                                          xmin: Double, xmax: Double,
+                                          ymin: Double, ymax: Double)
+
 /** Spatial θ-join (inclusive rectangle-intersect) with several physical
   * strategies, all producing the identical pair set:
   *
@@ -155,7 +165,9 @@ object SpatialJoins {
       // declarative join's per-cell nested loop inside the SMJ group loses to
       // the cogroup path with its sweep/STR-indexed inner loop
       val perCellEst = math.max(ca, cb).toDouble / s.numCells.toDouble
-      if (perCellEst > 256.0) gridJoinSweep(a, b, s)
+      // the dense route reuses THIS aggregation's point evidence — calling
+      // the public gridJoinSweep would re-measure it in a second job
+      if (perCellEst > 256.0) gridJoinSweepHinted(a, b, s, aPts, bPts)
       else if (aPts) gridJoinPIP(a, b, s)
       else if (bPts)
         gridJoinPIP(b, a, s).select(col("b_id").as("a_id"), col("a_id").as("b_id"))
@@ -293,13 +305,22 @@ object SpatialJoins {
     val probes = if (buildA) bs else as
     // STREAMING over probes: materializing the whole per-cell pair set would
     // buffer O(result) Pairs in one task — the per-probe buffer is bounded by
-    // the build side, and the cogroup consumer pulls pairs lazily
+    // the build side, and the cogroup consumer pulls pairs lazily.
+    // ONE buffer + ONE sink closure reused across all probes (the r6 form
+    // allocated an ArrayBuffer and a capturing closure PER PROBE — 10M+
+    // allocations in a dense-stripe task). Safe: Iterator.flatMap exhausts
+    // the returned buffer before the next probe's lambda call refills it.
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    var probe: CellGeom = null
+    val sink: CellGeom => Unit = { g =>
+      val p = probe
+      if (ownsRef(math.max(p.xmin, g.xmin), math.max(p.ymin, g.ymin)))
+        buf += (if (buildA) Pair(g.id, p.id) else Pair(p.id, g.id))
+    }
     probes.iterator.flatMap { p =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Pair]
-      tree.foreachIntersecting(p.xmin, p.xmax, p.ymin, p.ymax) { g =>
-        if (ownsRef(math.max(p.xmin, g.xmin), math.max(p.ymin, g.ymin)))
-          buf += (if (buildA) Pair(g.id, p.id) else Pair(p.id, g.id))
-      }
+      buf.clear()
+      probe = p
+      tree.foreachIntersecting(p.xmin, p.xmax, p.ymin, p.ymax)(sink)
       buf
     }
   }
@@ -310,8 +331,13 @@ object SpatialJoins {
   private[graft] def sweepOwned(as: Array[CellGeom], bs: Array[CellGeom],
                                 ownsRef: (Double, Double) => Boolean): Iterator[Pair] = {
     if (as.isEmpty || bs.isEmpty) return Iterator.empty
-    java.util.Arrays.sort(as, Ordering.by((g: CellGeom) => g.ymin))
-    java.util.Arrays.sort(bs, Ordering.by((g: CellGeom) => g.ymin))
+    // primitive comparator: Ordering.by boxes a Double per comparison —
+    // pure overhead in a sort that runs once per cell on the hot path
+    val byYmin = new java.util.Comparator[CellGeom] {
+      def compare(a: CellGeom, b: CellGeom): Int = java.lang.Double.compare(a.ymin, b.ymin)
+    }
+    java.util.Arrays.sort(as, byYmin)
+    java.util.Arrays.sort(bs, byYmin)
     new Iterator[Pair] {
       private var i = 0; private var j = 0
       private var anchorA = true          // which side the current anchor is on
@@ -377,12 +403,55 @@ object SpatialJoins {
     * Emits exactly the pair set of [[cogroupSchemeJoin]] (spec-asserted).
     */
   def gridJoinSweep(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
-    def rep(ds: Dataset[Geom], p: String, side: Int): DataFrame =
-      withCells(prefixed(ds, p), s, p)
-        .select(col("cell").as("key"), lit(side).as("side"), col(s"${p}_id").as("id"),
-          col(s"${p}_xmin").as("xmin"), col(s"${p}_xmax").as("xmax"),
-          col(s"${p}_ymin").as("ymin"), col(s"${p}_ymax").as("ymax"))
-    keyedPartitionJoin(rep(a, "a", 0).unionByName(rep(b, "b", 1)),
+    // POINT-side specialization (the stripes/dense twin of [[gridJoinPIP]]):
+    // a zero-extent side overlaps exactly one cell, so its map side is a
+    // plain PROJECTION (no explode(sequence) generator pair) — the same
+    // max-edge evidence intersectJoin computes, measured here by one fused
+    // aggregation over both inputs. The aggregation is a data pass, so it is
+    // GATED on Catalyst stats (≳1M estimated rows): small inputs keep the
+    // r6 plan shape with zero extra jobs, large ones amortize the pass
+    // against the generator+shuffle work it removes. Every branch emits the
+    // identical pair set (ownership arithmetic is untouched; a point's pair
+    // can only meet in the point's own cell, where the reference point — the
+    // intersection's bottom-left corner = the point itself — trivially owns).
+    val est = math.max(estRowsFromStats(a), estRowsFromStats(b))
+    val (aPts, bPts) =
+      if (est < 1e6) (false, false)
+      else {
+        val u = a.toDF().withColumn("s", lit(0L))
+          .unionByName(b.toDF().withColumn("s", lit(1L)))
+        // abs(): an INVERTED row must not smuggle a side into the point plan
+        // (see intersectJoin's planning aggregation)
+        val edge = greatest(abs(col("xmax") - col("xmin")),
+                            abs(col("ymax") - col("ymin")))
+        val r = u.agg(max(when(col("s") === 0L, edge)),
+                      max(when(col("s") === 1L, edge))).head()
+        (!r.isNullAt(0) && r.getDouble(0) == 0.0,
+         !r.isNullAt(1) && r.getDouble(1) == 0.0)
+      }
+    gridJoinSweepHinted(a, b, s, aPts, bPts)
+  }
+
+  /** [[gridJoinSweep]] with the point-side evidence supplied by the caller
+    * (or the detection aggregation above) — routes the point side to the
+    * projection-only map form.
+    */
+  private[graft] def gridJoinSweepHinted(a: Dataset[Geom], b: Dataset[Geom],
+                                         s: CellScheme, aPts: Boolean,
+                                         bPts: Boolean): DataFrame = {
+    def rep(ds: Dataset[Geom], p: String, side: Int, pts: Boolean): DataFrame =
+      if (pts)
+        // a point (xmin==xmax, ymin==ymax) replicates to exactly its own
+        // cell: the generator pair degenerates to a projection
+        ds.toDF().select(cellOfCol(s, col("xmin"), col("ymin")).as("key"),
+          lit(side).as("side"), col("id"),
+          col("xmin"), col("xmax"), col("ymin"), col("ymax"))
+      else
+        withCells(prefixed(ds, p), s, p)
+          .select(col("cell").as("key"), lit(side).as("side"), col(s"${p}_id").as("id"),
+            col(s"${p}_xmin").as("xmin"), col(s"${p}_xmax").as("xmax"),
+            col(s"${p}_ymin").as("ymin"), col(s"${p}_ymax").as("ymax"))
+    keyedPartitionJoin(rep(a, "a", 0, aPts).unionByName(rep(b, "b", 1, bPts)),
       (rx, ry) => s.cellOf(rx, ry))
   }
 
@@ -398,21 +467,21 @@ object SpatialJoins {
     val spark = u0.sparkSession
     import spark.implicits._
     val u = u0.repartition(col("key")).sortWithinPartitions("key", "side")
+      .as[KeyedGeom]
     u.mapPartitions { rows =>
       new Iterator[Pair] {
-        private var cur: org.apache.spark.sql.Row = null
+        private var cur: KeyedGeom = null
         private var started = false
         private var inner: Iterator[Pair] = Iterator.empty
         private def fill(): Unit = {
           if (!started) { started = true; cur = if (rows.hasNext) rows.next() else null }
           while (!inner.hasNext && cur != null) {
-            val cellKey = cur.getLong(0)
+            val cellKey = cur.key
             val as = scala.collection.mutable.ArrayBuffer.empty[CellGeom]
             val bs = scala.collection.mutable.ArrayBuffer.empty[CellGeom]
-            while (cur != null && cur.getLong(0) == cellKey) {
-              val g = CellGeom(cellKey, cur.getLong(2), cur.getDouble(3),
-                cur.getDouble(4), cur.getDouble(5), cur.getDouble(6))
-              if (cur.getInt(1) == 0) as += g else bs += g
+            while (cur != null && cur.key == cellKey) {
+              val g = CellGeom(cellKey, cur.id, cur.xmin, cur.xmax, cur.ymin, cur.ymax)
+              if (cur.side == 0) as += g else bs += g
               cur = if (rows.hasNext) rows.next() else null
             }
             inner = joinCellOwned(as.toArray, bs.toArray,
@@ -427,7 +496,36 @@ object SpatialJoins {
 
   /** 1-D stripes plan (reference J5): an `n × 1` grid. */
   def stripesJoin(a: Dataset[Geom], b: Dataset[Geom], extent: Extent, n: Int): DataFrame =
-    gridJoin(a, b, CellScheme.stripesX(extent, n))
+    stripesRouted(a, b, CellScheme.stripesX(extent, n))
+
+  /** Physical-plan routing for a stripe scheme (r6 verdict item 2: stripes
+    * never reached the point specialization — the reference's tuned
+    * 1,000-stripe Uniform PIP best was 2.05× ours). Small inputs (Catalyst
+    * stats, no job) keep the r6 declarative grid plan unchanged; large ones
+    * pay ONE fused planning aggregation (the intersectJoin evidence: per-side
+    * max MBR edge) and route a point side to [[gridJoinPIP]], or — when
+    * stripes run dense, where the declarative per-stripe SMJ loop is
+    * quadratic — to the sweep/STR cogroup body with the projection-only
+    * point form ([[gridJoinSweepHinted]]). Identical pair set on every path.
+    */
+  private def stripesRouted(a: Dataset[Geom], b: Dataset[Geom], s: CellScheme): DataFrame = {
+    val est = math.max(estRowsFromStats(a), estRowsFromStats(b))
+    if (est < 1e6) return gridJoin(a, b, s)
+    val u = a.toDF().withColumn("s", lit(0L))
+      .unionByName(b.toDF().withColumn("s", lit(1L)))
+    val edge = greatest(abs(col("xmax") - col("xmin")),
+                        abs(col("ymax") - col("ymin")))
+    val r = u.agg(max(when(col("s") === 0L, edge)),
+                  max(when(col("s") === 1L, edge)), count(lit(1))).head()
+    val aPts = !r.isNullAt(0) && r.getDouble(0) == 0.0
+    val bPts = !r.isNullAt(1) && r.getDouble(1) == 0.0
+    val perCellEst = r.getLong(2).toDouble / (2.0 * s.numCells)
+    if (perCellEst > 256.0) gridJoinSweepHinted(a, b, s, aPts, bPts)
+    else if (aPts) gridJoinPIP(a, b, s)
+    else if (bPts)
+      gridJoinPIP(b, a, s).select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    else gridJoin(a, b, s)
+  }
 
   /** Stripe-direction choice (the reference records `best_join_direction` per
     * workload and picks the better of partition-dim0 vs the transpose,
@@ -453,7 +551,7 @@ object SpatialJoins {
     val scheme =
       if (chooseStripeAxis(a, b, extent, n) == 'x') CellScheme.stripesX(extent, n)
       else CellScheme.stripesY(extent, n)
-    gridJoin(a, b, scheme)
+    stripesRouted(a, b, scheme)
   }
 
   /** [[gridJoin]] restricted by an additional predicate variant (within /

@@ -89,7 +89,15 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, k: Int, num: Int, den: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val shArr = shingleFrame(docs, k, idCol, textCol)
+    // repartition before the shingle pass (the jaccardPairsPrefix /
+    // sigFrame gate): a small parquet corpus scans as ONE partition and the
+    // tokenize+shingle+hash work — the dominant per-doc cost — would run
+    // single-threaded (profiled: a 1.3 s single-task stage at sf0.1)
+    val spark = docs.sparkSession
+    val in =
+      if (docs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism / 2) docs
+      else docs.repartition(spark.sparkContext.defaultParallelism)
+    val shArr = shingleFrame(in, k, idCol, textCol)
     val sh = shArr.select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     val a = sh.toDF("a_id", "a_n", "sh")
     val b = sh.toDF("b_id", "b_n", "sh_b")
@@ -193,13 +201,40 @@ object Dedup {
     // re-run the shingle pass — and the final verified plan holds the
     // candidate lineage 3× and the shingle lineage 4×, so dropping the
     // persists multiplies the WHOLE pipeline, not just the shingle scan
-    // (A/B at 5k docs: no-persist measured 24-40 s vs ~6 s persisted)
+    // (A/B at 5k docs: no-persist measured 24-40 s vs ~6 s persisted).
+    // Persisted on BOTH routes: on the small route the broadcast exchanges
+    // below evaluate their subtrees in separate jobs, so the shingle pass
+    // would still run once per consumer without it.
     val shArr = shingleFrame(in, k, idCol, textCol)
       .filter(size(col("shs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prefix = prefixFrame(shArr, num, den)
-    val cand = prefix.toDF("a_id", "sh")
-      .join(prefix.toDF("b_id", "sh_b"), col("sh") === col("sh_b") && col("a_id") < col("b_id"))
+    // candidate phase = PPJoin prefix collisions + the LENGTH filter
+    // (jaccard >= num/den implies num·|a| <= den·|b| and symmetrically — the
+    // same bound jaccardPairs pushes into its join) + the POSITIONAL filter
+    // (Xiao et al. 2008, public): a qualifying pair's overlap o satisfies
+    // o·(num+den) >= num·(|a|+|b|), and its FIRST common shingle in the
+    // frequency-sorted order — 0-based positions (pa, pb) — bounds o by
+    // min(|a|-pa, |b|-pb); that first-common collision row always passes, so
+    // per-row pruning keeps the pair set identical while dropping late-
+    // prefix collisions that can never verify. On the bytes-confirmed small
+    // route the b side is BROADCAST (bounded by the same confirm), removing
+    // both sides' shuffle-by-shingle.
+    // the prefix frame feeds both sides of the collision self-join; on the
+    // small route the b side is a broadcast BUILD JOB, which would re-run
+    // the freq+rank pipeline for the streamed a side — persist the (tiny,
+    // bounded-confirmed) frame instead of computing it twice
+    val prefix0 = prefixFrame(shArr, num, den, broadcastFreq = small)
+    val prefix =
+      if (small) prefix0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prefix0
+    val candA = prefix.toDF("a_id", "a_n", "a_pos", "sh")
+    val candB0 = prefix.toDF("b_id", "b_n", "b_pos", "sh_b")
+    val candB = if (small) broadcast(candB0) else candB0
+    val cand = candA
+      .join(candB, col("sh") === col("sh_b") && col("a_id") < col("b_id") &&
+        col("a_n") * num <= col("b_n") * den && col("b_n") * num <= col("a_n") * den &&
+        least(col("a_n") - col("a_pos"), col("b_n") - col("b_pos")) * (num + den) >=
+          lit(num) * (col("a_n") + col("b_n")))
       .select(col("a_id"), col("b_id")).distinct()
     // semi-join-reduce the shingle ARRAYS to candidate docs before attaching
     // them (same trick as minhashDedupPairs, Dedup.scala verify phase):
@@ -223,7 +258,7 @@ object Dedup {
     // point 3× the plain join at oracle scale, 10.2 s vs 3.2 s)
     if (small)
       finishPairs(verifyJaccard(cand, shArr, num, den, broadcastIds = true,
-        broadcastArrays = true), shArr)
+        broadcastArrays = true), shArr, prefix)
     else {
       val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val broadcastIds = candP.count() <= 10000000L
@@ -247,17 +282,31 @@ object Dedup {
     * `floor((1-t)*n)+1` under-counts by one whenever `t*n` is an exact
     * integer (e.g. t=4/5, n=5 -> 0.19999... * 5), losing qualifying pairs.
     */
-  private[graft] def prefixFrame(shArr: DataFrame, num: Int, den: Int): DataFrame = {
+  private[graft] def prefixFrame(shArr: DataFrame, num: Int, den: Int,
+                                 broadcastFreq: Boolean = false): DataFrame = {
     val sh = shArr.select(col("id"), explode(col("shs")).as("sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val nCol = size(col("dsh")).cast("long")
     val prefLen = greatest(lit(0L),
       nCol - floor((nCol * num + den - 1) / den).cast("long") + 1).cast("int")
-    sh.join(freq, "sh")
+    // `broadcastFreq` (bytes-confirmed small corpora only): the df attach is
+    // a BROADCAST join, removing the exploded frame's shuffle-by-shingle —
+    // on the small route that exchange was pure fixed cost (the df frame is
+    // bounded by distinct shingles ≤ corpus tokens, which the caller's
+    // bounded confirm capped in BYTES). The scale route keeps the shuffled
+    // join: a web-scale df frame cannot broadcast.
+    val freqSide = if (broadcastFreq) broadcast(freq) else freq
+    // `n` (the doc's shingle-set size) and `pos` (the shingle's 0-based rank
+    // in the doc's frequency-sorted order) ride along for the caller's
+    // PPJoin LENGTH and POSITIONAL filters — both are free here (size(dsh) /
+    // posexplode), where the r6 caller had no pruning evidence at all and
+    // verified every rare-prefix collision
+    sh.join(freqSide, "sh")
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("dsh"))
-      .select(col("id"), explode(slice(col("dsh"), lit(1), prefLen)).as("ds"))
-      .select(col("id"), col("ds.sh").as("sh"))
+      .select(col("id"), size(col("dsh")).as("n"),
+        posexplode(slice(col("dsh"), lit(1), prefLen)).as(Seq("pos", "ds")))
+      .select(col("id"), col("n"), col("pos"), col("ds.sh").as("sh"))
   }
 
   /** Shared tail of the LSH/prefix pipelines: materialize the (tiny,

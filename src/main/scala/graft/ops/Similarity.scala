@@ -479,8 +479,18 @@ object Similarity {
     */
   private def exactCosineFilter(pairs: DataFrame, tMilli: Int): DataFrame =
     pairs.withColumn("dot", qdot(col("a_q"), col("b_q")))
-      // compare in BigDecimal space: dot² * 10⁶ vs t² * n2a * n2b (can exceed int64)
+      // compare in BigDecimal space: dot² * 10⁶ vs t² * n2a * n2b (can exceed
+      // int64). A cheap DOUBLE pre-filter with a conservative 1e-9 relative
+      // margin runs first (short-circuit And in codegen): operands are
+      // ≲ 5e21 with double relative error ≲ 1e-15 across these products, so
+      // no qualifying pair can be rejected by the margin — survivors are
+      // re-confirmed by the exact decimal predicate (identical result set,
+      // decimal arithmetic only on the ~threshold-crossing sliver instead of
+      // every candidate pair of the n² oracle route).
       .filter(col("dot") >= 0 &&
+        col("dot").cast("double") * col("dot").cast("double") * lit(1e6) >=
+          lit(tMilli.toDouble * tMilli) * col("a_n2").cast("double") *
+            col("b_n2").cast("double") * lit(1.0 - 1e-9) &&
         col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
           lit(tMilli.toLong * tMilli) * col("a_n2").cast("decimal(38,0)") * col("b_n2"))
       .select(col("a_id"), col("b_id"))
@@ -489,7 +499,15 @@ object Similarity {
     * correctness ORACLE for [[lshNearDupPairs]], never the scale path.
     */
   def cosineNearDupPairs(embs: DataFrame, tMilli: Int): DataFrame = {
-    val withNorm = embs.select(col("vec_id"), col("embedding"),
+    // repartition the streamed side: an oracle-scale parquet corpus scans as
+    // ONE partition, so the n² loop — the entire cost of this route — ran
+    // single-threaded (profiled 7.4 s at 2.4k vectors where the parallel
+    // form takes well under 1 s); no-op when the input is already parallel
+    val spark = embs.sparkSession
+    val in =
+      if (embs.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism / 2) embs
+      else embs.repartition(spark.sparkContext.defaultParallelism)
+    val withNorm = in.select(col("vec_id"), col("embedding"),
       qdot(col("embedding"), col("embedding")).as("n2"))
     val a = withNorm.toDF("a_id", "a_q", "a_n2")
     val b = withNorm.toDF("b_id", "b_q", "b_n2")

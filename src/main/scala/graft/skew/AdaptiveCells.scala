@@ -123,7 +123,6 @@ object AdaptiveCells {
            budgetPairs: Long = 4L * 1024 * 1024, maxSplit: Int = 32,
            sampleFraction: Double = 1.0, spreadFactor: Double = 4.0): AdaptiveScheme = {
     import a.sparkSession.implicits._
-    val scale = math.round(1.0 / sampleFraction)
     // ONE fused planning aggregation: both (sampled) inputs are tagged with
     // a side bit, replicated to their cells, and counted conditionally in a
     // single groupBy — one pass over each input and one job, where the r3
@@ -142,8 +141,36 @@ object AdaptiveCells {
     // unconditionally, ~40% of the whole planning premium on the
     // even-density bench workload.
     val sampled = sampleFraction < 1.0
-    val sa = if (!sampled) a else a.sample(sampleFraction, 42L)
-    val sb = if (!sampled) b else b.sample(sampleFraction, 43L)
+    // PARTITION-level sampling (r6 verdict item 3): a Bernoulli `sample()`
+    // still SCANS every input row — the dominant residual share of the
+    // planning premium once the aggregation itself is fused. Keeping whole
+    // partitions (a deterministic stride over the partition index) reads
+    // only the kept partitions' rows; skipped partitions' task iterators
+    // are never consumed, so their cache blocks / row groups never
+    // decompress. Bias guard: at least 4 partitions are kept, they are
+    // stride-SPREAD across the input (not a contiguous range, so an
+    // id-ordered or file-ordered layout contributes from its whole span),
+    // and inputs with < 16 partitions fall back to the Bernoulli sample.
+    // The estimate only picks split factors — exactly-once ownership is
+    // local arithmetic, so a biased sample costs plan quality, never
+    // correctness (SkewSpec asserts oracle equality on sampled plans).
+    def sampleSide(ds: Dataset[Geom], seed: Long): (Dataset[Geom], Double) =
+      if (!sampled) (ds, 1.0)
+      else {
+        val p = ds.rdd.getNumPartitions
+        val want = math.max(4, math.round(p * sampleFraction).toInt)
+        if (p < 16 || want >= p) (ds.sample(sampleFraction, seed), 1.0 / sampleFraction)
+        else {
+          val stride = p / want
+          val kept = (p + stride - 1) / stride // #{i : i % stride == 0}
+          val rdd = ds.rdd.mapPartitionsWithIndex(
+            (i, it) => if (i % stride == 0) it else Iterator.empty,
+            preservesPartitioning = true)
+          (ds.sparkSession.createDataset(rdd), p.toDouble / kept)
+        }
+      }
+    val (sa, scaleA) = sampleSide(a, 42L)
+    val (sb, scaleB) = sampleSide(b, 43L)
     def tagged(ds: Dataset[Geom], side: Int) =
       graft.join.SpatialJoins.withCells(
           ds.toDF("p_id", "p_xmin", "p_xmax", "p_ymin", "p_ymax"), base, "p")
@@ -182,20 +209,20 @@ object AdaptiveCells {
       if (base.numCells <= (1L << 20)) {
         val all = counts0.collect() // ≤ numCells rows of (cell, cna, cnb)
         val sumP = all.iterator.map(r =>
-          r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)).sum
-        (all.iterator.map(_.getLong(1)).sum * scale,
-         all.iterator.map(_.getLong(2)).sum * scale,
+          r.getLong(1) * scaleA * (r.getLong(2) * scaleB)).sum
+        (all.iterator.map(_.getLong(1)).sum * scaleA,
+         all.iterator.map(_.getLong(2)).sum * scaleB,
          sumP, math.max(1L, all.length.toLong),
          (threshold: Double) =>
-           all.filter(r => r.getLong(1) * scale.toDouble *
-             (r.getLong(2) * scale.toDouble) > threshold))
+           all.filter(r => r.getLong(1) * scaleA *
+             (r.getLong(2) * scaleB) > threshold))
       } else {
         val cached = counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prod = col("cna").cast("double") * lit(scale.toDouble) *
-          col("cnb").cast("double") * lit(scale.toDouble)
+        val prod = col("cna").cast("double") * lit(scaleA) *
+          col("cnb").cast("double") * lit(scaleB)
         val tot = cached.agg(coalesce(sum("cna"), lit(0L)), coalesce(sum("cnb"), lit(0L)),
           coalesce(sum(prod), lit(0.0)), count(lit(1))).head()
-        ((tot.getLong(0) * scale, tot.getLong(1) * scale, tot.getDouble(2),
+        ((tot.getLong(0) * scaleA, tot.getLong(1) * scaleB, tot.getDouble(2),
           math.max(1L, tot.getLong(3)),
           (threshold: Double) => {
             val rows = cached.filter(prod > threshold).collect()
@@ -203,7 +230,7 @@ object AdaptiveCells {
             rows
           }))
       }
-    val perCellMean = math.max(totalA, totalB).toDouble / occupiedCells
+    val perCellMean = math.max(totalA, totalB) / occupiedCells
     val parallelism = math.max(1, a.sparkSession.sparkContext.defaultParallelism)
     // split threshold: the larger of the absolute budget and the balanced
     // per-worker share of total candidate work — a cell below the share can
@@ -238,7 +265,7 @@ object AdaptiveCells {
       val sCapW = math.max(1, (base.cellW / (2 * math.max(mw, 1e-12))).toInt)
       val sCapH = math.max(1, (base.cellH / (2 * math.max(mh, 1e-12))).toInt)
       val sCap = math.min(maxSplit, math.min(sCapW, sCapH))
-      val prod = r.getLong(1) * scale.toDouble * (r.getLong(2) * scale.toDouble)
+      val prod = r.getLong(1) * scaleA * (r.getLong(2) * scaleB)
       val s = math.ceil(math.pow(prod / budgetPairs, 0.25)).toInt + 1
       r.getLong(0) -> math.min(s, sCap)
     }.filter(_._2 >= 2).toMap

@@ -50,6 +50,7 @@ class DedupRoutingSpec extends AnyFunSuite {
       .select(col("id"), col("sh"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = Dedup.prefixFrame(shArr, 1, 2)
+      .select(col("id"), col("sh"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == ref && got.nonEmpty)
   }

@@ -62,6 +62,22 @@ class SkewSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("partition-stride sampled planning stays oracle-equal (≥16-partition inputs skip the Bernoulli scan)") {
+    // 32-partition inputs at sampleFraction 0.1 take the partition-stride
+    // sample (keep = max(4, 3) of 32); the plan may differ from the
+    // Bernoulli estimate's, but the JOIN result never can
+    val a = Workloads.gaussianPolygons(spark, 3000, seed = 5, mapEdge = 1000.0,
+      meanEdge = 8.0).repartition(32)
+    val b = Workloads.gaussianPolygons(spark, 3000, seed = 6, mapEdge = 1000.0,
+      meanEdge = 8.0).repartition(32)
+    val base = CellScheme(Extent(0, 1012, 0, 1012), 8, 8)
+    val got = pairs(SpatialJoins.gridJoinAdaptive(a, b, base, budgetPairs = 10000,
+      planSampleFraction = 0.1))
+    val want = pairs(SpatialJoins.broadcastNL(a, b))
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("hot-corner regime: adaptive == grid-sweep == salted, splits trigger") {
     val a = Workloads.hotspotPolygons(spark, 20000, seed = 11, mapEdge = 1000.0,
       hotFrac = 0.5, hotX = 100, hotY = 100, hotW = 2.0, meanEdge = 0.05)

@@ -189,6 +189,35 @@ class SpatialJoinSpec extends AnyFunSuite {
       broadcastThreshold = 100)) == 4)
   }
 
+  test("sweep point specialization: projection-only point side, identical pairs (grid + stripes)") {
+    // exercises gridJoinSweepHinted directly: the public gridJoinSweep gates
+    // its detection aggregation on ~1M estimated rows, so spec-sized inputs
+    // would keep the generic map side
+    val pts = randomSet(24, 2000, 0.0)
+    val polys = randomSet(25, 1500, 5.0)
+    val ext = Extent(0, 106, 0, 106)
+    val oracle = pairs(broadcastNL(pts, polys))
+    assert(oracle.nonEmpty)
+    def generates(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size
+    for (s <- Seq(CellScheme(ext, 9, 9), CellScheme.stripesY(ext, 11),
+                  CellScheme.stripesX(ext, 7))) {
+      val hinted = SpatialJoins.gridJoinSweepHinted(pts, polys, s,
+        aPts = true, bPts = false)
+      assert(generates(hinted) == 2,
+        s"point side must be a projection (only the poly side's generator pair remains), scheme $s")
+      assert(pairs(hinted) == oracle, s"hinted pair set, scheme $s")
+      val swapped = SpatialJoins.gridJoinSweepHinted(polys, pts, s,
+        aPts = false, bPts = true)
+      assert(pairs(swapped) == oracle.map(_.swap), s"swapped hinted pair set, scheme $s")
+    }
+    // a lying hint is the caller's bug, but the generic form must stay exact
+    assert(pairs(SpatialJoins.gridJoinSweepHinted(pts, polys,
+      CellScheme(ext, 9, 9), aPts = false, bPts = false)) == oracle)
+  }
+
   test("distanceJoin matches brute force") {
     import TestSpark.spark.implicits._
     val a = randomSet(5, 300, 2.0)
