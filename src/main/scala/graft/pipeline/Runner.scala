@@ -37,7 +37,9 @@ final class Runner(spark: SparkSession, snapshotRoot: String,
 
     val joined = snaps.getOrCompute("join", Map("skeleton" -> skeletonId)) {
       import spark.implicits._
-      SpatialJoins.gridJoin(skeleton.as[Geom], rects, scheme)
+      // the skeleton is points by construction — point-specialized plan,
+      // zero detection cost (see Pages.geoJoin)
+      SpatialJoins.gridJoinPIP(skeleton.as[Geom], rects, scheme)
     }
     val joinId = snaps.latest("join").get
 
