@@ -504,8 +504,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Candidate pairs from a precomputed [[sigFrame]]. */
-  private def candidatesFromSig(sigF: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+  /** `(id, bucket)` band-bucket rows of a [[sigFrame]]. */
+  private def bucketFrame(sigF: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rowsPerBand = numPerm / bands
     val sig = sigF.select(col("id"), col("sig"))
@@ -519,19 +519,25 @@ object Dedup {
         array_join(transform(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand),
           _.cast("string")), ",")))
     }
-    // pair generation via bucket self-join: a hot bucket shuffle-partitions
-    // instead of materializing all its ids in one collect_list row (which
-    // would OOM a single task on a near-dup-heavy corpus)
-    val bucketed = sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
-    // shuffle_hash: the band join's grouping is pure collision-lookup; the
-    // SMJ sorts of 16M+ banded rows are pure overhead here (measured ~2× on
-    // the 1M-doc bench)
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+  }
+
+  /** Bucket self-join: a hot bucket shuffle-partitions instead of
+    * materializing all its ids in one collect_list row (which would OOM a
+    * single task on a near-dup-heavy corpus). shuffle_hash: the band join's
+    * grouping is pure collision-lookup; the SMJ sorts of 16M+ banded rows
+    * are pure overhead here (measured ~2× on the 1M-doc bench).
+    */
+  private def candidatesFromBuckets(bucketed: DataFrame): DataFrame =
     bucketed.toDF("a_id", "bucket")
       .join(bucketed.toDF("b_id", "bucket_b").hint("shuffle_hash"),
         col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-  }
+
+  /** Candidate pairs from a precomputed [[sigFrame]]. */
+  private def candidatesFromSig(sigF: DataFrame, numPerm: Int, bands: Int): DataFrame =
+    candidatesFromBuckets(bucketFrame(sigF, numPerm, bands))
 
   /** Standalone candidate API (shingle → minhash → band → bucket join). */
   def minhashCandidates(docs: DataFrame, k: Int, numPerm: Int, bands: Int,
@@ -544,12 +550,23 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, k: Int = 3, numPerm: Int = 64, bands: Int = 16,
                         num: Int = 1, den: Int = 2): DataFrame = {
     val sigF = sigFrame(docs, k, numPerm, "doc_id", "text")
+    // Persist the BUCKETED frame (16 band-hash longs per doc — bounded,
+    // narrow) and PRIME it with one materialization pass, which also builds
+    // the sigF cache underneath in the same job. Without this the band
+    // self-join's two branches each recomputed the per-band bucket strings
+    // (hash60 over a ~100-char concat per row per band — profiled as two
+    // concurrent 8-11 s map stages at the 1M-doc bench, the single biggest
+    // share of the minhash runtime), racing on the cold sigF cache besides.
+    val bucketed = bucketFrame(sigF, numPerm, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bucketed.count()
     // candidates are PERSISTED and counted once: the count is the planning
     // input for the verify phase and the persist stops the band join from
     // re-running for each of the three consumers below
-    val cand = candidatesFromSig(sigF, numPerm, bands)
+    val cand = candidatesFromBuckets(bucketed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.count()
+    bucketed.unpersist(blocking = false) // cand is materialized — bucket rows are done
     val shArr = sigF.select(col("id"), col("shs"))
     // semi-join-reduce the shingle arrays to CANDIDATE docs before attaching
     // them: when the candidate population ≪ corpus (every real dedup run),
