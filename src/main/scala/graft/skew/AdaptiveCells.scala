@@ -166,7 +166,10 @@ object AdaptiveCells {
           val rdd = ds.rdd.mapPartitionsWithIndex(
             (i, it) => if (i % stride == 0) it else Iterator.empty,
             preservesPartitioning = true)
-          (ds.sparkSession.createDataset(rdd), p.toDouble / kept)
+          // narrow-coalesce away the skipped (empty) partitions: the two
+          // planning stages otherwise dispatch p mostly-no-op tasks each —
+          // measurable fixed cost at p=64-128 against a sub-second plan
+          (ds.sparkSession.createDataset(rdd.coalesce(kept)), p.toDouble / kept)
         }
       }
     val (sa, scaleA) = sampleSide(a, 42L)
