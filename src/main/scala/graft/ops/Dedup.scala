@@ -388,8 +388,9 @@ object Dedup {
     * spans are boilerplate by construction; genuinely duplicated passages
     * still surface through their rarer spans). The verify still counts every
     * shared span exactly, so `n_spans` is unaffected for emitted pairs —
-    * only pairs whose EVERY shared span is over-frequent are missed, and
-    * that trade is logged by the caller, never silent. `maxDf = 0` (the
+    * only pairs whose EVERY shared span is over-frequent are missed — a
+    * trade callers SHOULD surface (e.g. log the count of grams the df cap
+    * dropped; no caller in this repo sets `maxDf > 0`). `maxDf = 0` (the
     * oracle setting) keeps everything.
     */
   def duplicateSpanPairs(docs: DataFrame, l: Int = 8, maxDf: Long = 0L,

@@ -290,7 +290,10 @@ object Traces {
     val poly = try_element_at(parts, lit(2))
     val id = try_element_at(parts, lit(1)).cast("long")
     // what Python float() accepts (sign, decimal forms, exponent); inf/nan
-    // never occur in OSM dumps and are deliberately out
+    // never occur in OSM dumps and are deliberately out — as are float()'s
+    // underscore digit groups ('1_0' → 10.0) and whitespace-padded tokens,
+    // which likewise cannot occur in OSM dumps (r6 advice: the divergence
+    // is intentional and recorded here)
     val floatRe = "^[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?$"
     val segs = split(regexp_replace(regexp_replace(poly,
       lit("POLYGON\\s*\\(\\("), lit("")), lit("\\)\\)"), lit("")), lit(","))

@@ -98,6 +98,13 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    // batch execution eliminates the EventTimeWatermark node, so
+    // getCurrentWatermarkMs() below would throw at runtime — fail fast with
+    // the actionable combination instead (r6 advice): batch callers flush
+    // with flushOpen, streams may evict
+    require(events.isStreaming || !evictAtWatermark,
+      "sessionize(evictAtWatermark = true) requires a streaming frame; " +
+        "batch frames must use flushOpen = true instead")
     val src = if (evictAtWatermark) events.withWatermark("ts", watermarkDelay) else events
     // keep the raw ts column alongside the long view: the watermark metadata
     // rides the ts ATTRIBUTE, and flatMapGroupsWithState's event-time timeout
